@@ -1,0 +1,254 @@
+"""ADM / EDM-style U-Net ("DhariwalUNet") in flax.linen, NHWC.
+
+Parity target: models/adm_blocks.py:124-404 in the reference (EDM's ADM
+variant with adaptive scale-shift conditioning, fp32 attention, Fourier
+noise embedding, and the m-cedm conditioning extensions: channel-concat
+cond / separate cond encoder / dx conditioning / self-conditioning).
+
+TPU-first notes:
+  * NHWC layout; attention tokens are the flattened (H*W) spatial grid at the
+    attention resolutions (<= 32x32 = 1024 tokens in all shipped configs).
+  * The fp32 attention custom-autograd op of the reference is simply fp32
+    einsums here — XLA differentiates them natively (no custom VJP needed)
+    and fuses the softmax.
+  * Resampling uses exact nearest/mean-pool equivalents (see layers.py).
+  * Shape bookkeeping (skip channel matching) happens at trace time, so the
+    compiled graph is a single static XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from m_cedm_tpu.models.layers import (
+    Conv2d,
+    Linear,
+    adm_group_norm,
+    fp32_softmax_attention,
+)
+from m_cedm_tpu.ops.schedules import fourier_positional_embedding
+
+INIT = dict(init_mode="kaiming_uniform", init_weight=3 ** -0.5, init_bias=3 ** -0.5)
+INIT_ZERO = dict(init_mode="kaiming_uniform", init_weight=0.0, init_bias=0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmUNetConfig:
+    in_channels: int
+    out_ch: int
+    ch: int = 64
+    ch_mult: Tuple[int, ...] = (1, 1, 1)
+    num_res_blocks: int = 1
+    attn_resolutions: Tuple[int, ...] = (32,)
+    resolution: int = 128
+    dropout: float = 0.0
+    cond_channels: int = 0
+    cat_cond: bool = False
+    self_cond: bool = False
+    dx_cond: bool = False
+    cat_dx: bool = False
+    label_dim: int = 0
+    augment_dim: int = 0
+    label_dropout: float = 0.0
+
+    @staticmethod
+    def from_hparams(hparams) -> "AdmUNetConfig":
+        m = hparams["model"]
+
+        def get(key, default):
+            return m.get(key, default) if hasattr(m, "get") else getattr(m, key, default)
+
+        return AdmUNetConfig(
+            in_channels=m["in_channels"],
+            out_ch=m["out_ch"],
+            ch=m["ch"],
+            ch_mult=tuple(m["ch_mult"]),
+            num_res_blocks=m["num_res_blocks"],
+            attn_resolutions=tuple(m["attn_resolutions"]),
+            resolution=m["resolution"],
+            dropout=get("dropout", 0.0),
+            cond_channels=get("cond_channels", 0),
+            cat_cond=get("cat_cond", False),
+            self_cond=get("self_cond", False),
+            dx_cond=get("dx_cond", False),
+            cat_dx=get("cat_dx", False),
+            label_dim=get("label_dim", 0),
+            augment_dim=get("augment_dim", 0),
+            label_dropout=get("label_dropout", 0.0),
+        )
+
+    @property
+    def total_in_channels(self) -> int:
+        c = self.in_channels * (2 if self.self_cond else 1)
+        if self.cat_cond:
+            c += self.cond_channels
+        if self.dx_cond and self.cat_dx:
+            c += self.in_channels
+        return c
+
+
+class UNetBlock(nn.Module):
+    """Residual block with adaptive scale-shift emb conditioning and optional
+    self-attention; the union block used by the ADM encoder/decoder."""
+    out_channels: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    skip_scale: float = 1.0
+    eps: float = 1e-5
+    adaptive_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        c = self.out_channels
+        num_heads = c // self.channels_per_head if self.attention else 0
+
+        orig = x
+        h = adm_group_norm(in_channels, eps=self.eps)(x)
+        h = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT, name="conv0")(nn.silu(h))
+
+        params = Linear(c * (2 if self.adaptive_scale else 1), **INIT, name="affine")(emb)
+        params = params[:, None, None, :].astype(h.dtype)
+        if self.adaptive_scale:
+            scale, shift = jnp.split(params, 2, axis=-1)
+            h = nn.silu(shift + adm_group_norm(c, eps=self.eps)(h) * (scale + 1))
+        else:
+            h = nn.silu(adm_group_norm(c, eps=self.eps)(h + params))
+
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")(h)
+
+        if c != in_channels or self.up or self.down:
+            skip_kernel = 1 if c != in_channels else 0
+            orig = Conv2d(c, kernel=skip_kernel, up=self.up, down=self.down,
+                          **INIT, name="skip")(orig)
+        x = (h + orig) * self.skip_scale
+
+        if num_heads:
+            b, hh, ww, _ = x.shape
+            y = adm_group_norm(c, eps=self.eps)(x)
+            qkv = Conv2d(c * 3, kernel=1, **INIT, name="qkv")(y)
+            qkv = qkv.reshape(b, hh * ww, 3, num_heads, c // num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            # (B, L, H, D) -> (B*H, L, D)
+            q = q.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+            k = k.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+            v = v.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+            a = fp32_softmax_attention(q, k, v)
+            a = a.reshape(b, num_heads, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
+            x = (Conv2d(c, kernel=1, **INIT_ZERO, name="proj")(a) + x) * self.skip_scale
+        return x
+
+
+class CondEncoder(nn.Module):
+    """Two-conv GELU encoder for non-concatenated conditioning streams."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(self.features, kernel=3, **INIT)(x)
+        x = nn.gelu(x)
+        return Conv2d(self.features, kernel=3, **INIT)(x)
+
+
+class AdmUNet(nn.Module):
+    """The full ADM U-Net; input/output are NHWC (B, H, W, C)."""
+    cfg: AdmUNetConfig
+
+    @nn.compact
+    def __call__(self, x, noise_labels, cond=None, x_self_cond=None, dx=None,
+                 class_labels=None, augment_labels=None, deterministic: bool = True):
+        cfg = self.cfg
+        ch = cfg.ch
+        emb_channels = ch
+        block_kwargs = dict(channels_per_head=64, dropout=cfg.dropout)
+
+        # --- noise-level embedding ---------------------------------------
+        emb = fourier_positional_embedding(noise_labels, ch)
+        if cfg.augment_dim and augment_labels is not None:
+            emb = emb + Linear(ch, use_bias=False, **INIT_ZERO, name="map_augment")(augment_labels)
+        emb = nn.silu(Linear(emb_channels, **INIT, name="map_layer0")(emb))
+        emb = Linear(emb_channels, **INIT, name="map_layer1")(emb)
+        if cfg.label_dim and class_labels is not None:
+            emb = emb + Linear(emb_channels, use_bias=False, init_mode="kaiming_normal",
+                               init_weight=cfg.label_dim ** 0.5, name="map_label")(class_labels)
+        emb = nn.silu(emb)
+
+        # --- input-channel conditioning ----------------------------------
+        if cfg.self_cond:
+            sc = jnp.zeros_like(x) if x_self_cond is None else x_self_cond
+            x = jnp.concatenate([sc, x], axis=-1)
+        if cfg.cat_cond and cfg.cond_channels > 0:
+            if cond is None:
+                cond_cat = jnp.zeros(x.shape[:3] + (cfg.cond_channels,), x.dtype)
+            else:
+                cond_cat = cond
+            x = jnp.concatenate([cond_cat, x], axis=-1)
+        if cfg.dx_cond and cfg.cat_dx:
+            dx_cat = jnp.zeros(x.shape[:3] + (cfg.in_channels,), x.dtype) if dx is None else dx
+            x = jnp.concatenate([x, dx_cat], axis=-1)
+
+        feat_ch = ch * cfg.ch_mult[0]
+        x = Conv2d(feat_ch, kernel=3, **INIT, name="conv_in")(x)
+
+        # --- feature-level conditioning encoders -------------------------
+        combine = []
+        if cfg.cond_channels > 0 and not cfg.cat_cond:
+            if cond is not None:
+                combine.append(CondEncoder(feat_ch, name="cond_enc")(cond))
+            else:
+                combine.append(jnp.zeros_like(x))
+        if cfg.dx_cond and not cfg.cat_dx:
+            if dx is not None:
+                combine.append(CondEncoder(feat_ch, name="dx_enc")(dx))
+            else:
+                combine.append(jnp.zeros_like(x))
+        if combine:
+            x = jnp.concatenate([x] + combine, axis=-1)
+            x = Conv2d(feat_ch, kernel=3, **INIT, name="combine_enc")(x)
+
+        # --- encoder ------------------------------------------------------
+        skips = [x]
+        cout = feat_ch
+        for level, mult in enumerate(cfg.ch_mult):
+            res = cfg.resolution >> level
+            if level > 0:
+                x = UNetBlock(cout, down=True, **block_kwargs,
+                              name=f"enc_{res}x{res}_down")(x, emb, deterministic)
+                skips.append(x)
+            for idx in range(cfg.num_res_blocks):
+                cout = ch * mult
+                x = UNetBlock(cout, attention=(res in cfg.attn_resolutions),
+                              **block_kwargs,
+                              name=f"enc_{res}x{res}_block{idx}")(x, emb, deterministic)
+                skips.append(x)
+
+        # --- decoder ------------------------------------------------------
+        for level, mult in reversed(list(enumerate(cfg.ch_mult))):
+            res = cfg.resolution >> level
+            if level == len(cfg.ch_mult) - 1:
+                x = UNetBlock(cout, attention=True, **block_kwargs,
+                              name=f"dec_{res}x{res}_in0")(x, emb, deterministic)
+                x = UNetBlock(cout, **block_kwargs,
+                              name=f"dec_{res}x{res}_in1")(x, emb, deterministic)
+            else:
+                x = UNetBlock(cout, up=True, **block_kwargs,
+                              name=f"dec_{res}x{res}_up")(x, emb, deterministic)
+            for idx in range(cfg.num_res_blocks + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                cout = ch * mult
+                x = UNetBlock(cout, attention=(res in cfg.attn_resolutions),
+                              **block_kwargs,
+                              name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
+        assert not skips
+
+        x = nn.silu(adm_group_norm(cout)(x))
+        return Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")(x)

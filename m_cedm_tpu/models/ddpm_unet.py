@@ -1,0 +1,239 @@
+"""Classic DDPM/DDIM U-Net ("Model") in flax.linen, NHWC.
+
+Parity target: models/ddim_blocks.py:62-470 in the reference (the
+ermongroup/ddim architecture: sinusoidal t-embedding with a 2-layer MLP,
+ResnetBlocks with additive t-conditioning, single-head softmax attention,
+nearest-upsample / asymmetric-pad strided-conv downsample, plus the m-cedm
+conditioning extensions shared with the ADM net).
+
+TPU-first notes:
+  * NHWC; attention over flattened spatial tokens in fp32.
+  * The asymmetric (0,1,0,1) downsample padding of the reference is kept
+    exactly (it changes which pixels each output sees).
+  * Bayesian per-t logvar option is a (num_timesteps,) param vector.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from m_cedm_tpu.models.layers import (
+    TorchConv2d,
+    TorchLinear,
+    ddpm_group_norm,
+    fp32_softmax_attention,
+    upsample2x_nearest,
+)
+from m_cedm_tpu.ops.schedules import sinusoidal_timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class DdpmUNetConfig:
+    in_channels: int
+    out_ch: int
+    ch: int = 64
+    ch_mult: Tuple[int, ...] = (1, 1, 1)
+    num_res_blocks: int = 1
+    attn_resolutions: Tuple[int, ...] = (32,)
+    resolution: int = 128
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    cond_channels: int = 0
+    cat_cond: bool = False
+    self_cond: bool = False
+    dx_cond: bool = False
+    cat_dx: bool = False
+    bayesian: bool = False
+    num_timesteps: int = 1000
+
+    @staticmethod
+    def from_hparams(hparams) -> "DdpmUNetConfig":
+        m = hparams["model"]
+
+        def get(key, default):
+            return m.get(key, default) if hasattr(m, "get") else getattr(m, key, default)
+
+        diffusion = hparams.get("diffusion", {}) or {}
+        return DdpmUNetConfig(
+            in_channels=m["in_channels"],
+            out_ch=m["out_ch"],
+            ch=m["ch"],
+            ch_mult=tuple(m["ch_mult"]),
+            num_res_blocks=m["num_res_blocks"],
+            attn_resolutions=tuple(m["attn_resolutions"]),
+            resolution=m["resolution"],
+            dropout=get("dropout", 0.0),
+            resamp_with_conv=get("resamp_with_conv", True),
+            cond_channels=get("cond_channels", 0),
+            cat_cond=get("cat_cond", False),
+            self_cond=get("self_cond", False),
+            dx_cond=get("dx_cond", False),
+            cat_dx=get("cat_dx", False),
+            bayesian=(get("type", "simple") == "bayesian"),
+            num_timesteps=diffusion.get("num_diffusion_timesteps", 1000),
+        )
+
+    @property
+    def total_in_channels(self) -> int:
+        c = self.in_channels * (2 if self.self_cond else 1)
+        if self.cat_cond:
+            c += self.cond_channels
+        if self.dx_cond and self.cat_dx:
+            c += self.in_channels
+        return c
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = nn.silu(ddpm_group_norm(in_ch)(x))
+        h = TorchConv2d(self.out_channels, kernel=3, name="conv1")(h)
+        h = h + TorchLinear(self.out_channels, name="temb_proj")(nn.silu(temb))[:, None, None, :]
+        h = nn.silu(ddpm_group_norm(self.out_channels)(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = TorchConv2d(self.out_channels, kernel=3, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = TorchConv2d(self.out_channels, kernel=1, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        y = ddpm_group_norm(c)(x)
+        q = TorchConv2d(c, kernel=1, name="q")(y).reshape(b, hh * ww, c)
+        k = TorchConv2d(c, kernel=1, name="k")(y).reshape(b, hh * ww, c)
+        v = TorchConv2d(c, kernel=1, name="v")(y).reshape(b, hh * ww, c)
+        a = fp32_softmax_attention(q, k, v).reshape(b, hh, ww, c)
+        return x + TorchConv2d(c, kernel=1, name="proj_out")(a)
+
+
+class Downsample(nn.Module):
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            # torch pads (left, right, top, bottom) = (0,1,0,1) then valid conv
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return TorchConv2d(x.shape[-1], kernel=3, stride=2, padding="valid",
+                               name="conv")(x)
+        b, h, w, c = x.shape
+        return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+class Upsample(nn.Module):
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample2x_nearest(x)
+        if self.with_conv:
+            x = TorchConv2d(x.shape[-1], kernel=3, name="conv")(x)
+        return x
+
+
+class CondEncoder(nn.Module):
+    """1x1 conv -> GELU -> circular 3x3 conv feature encoder for conditioning."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv2d(self.features, kernel=1)(x)
+        x = nn.gelu(x)
+        return TorchConv2d(self.features, kernel=3, padding_mode="circular")(x)
+
+
+class DdpmUNet(nn.Module):
+    """The DDPM U-Net; input/output are NHWC (B, H, W, C); t is (B,)."""
+    cfg: DdpmUNetConfig
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, x_self_cond=None, dx=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        assert x.shape[1] == x.shape[2] == cfg.resolution
+        ch = cfg.ch
+        temb_ch = ch * 4
+        if cfg.bayesian:
+            self.param("logvar", nn.initializers.zeros, (cfg.num_timesteps,))
+
+        temb = sinusoidal_timestep_embedding(t, ch)
+        temb = TorchLinear(temb_ch, name="temb_dense0")(temb)
+        temb = TorchLinear(temb_ch, name="temb_dense1")(nn.silu(temb))
+
+        # --- input-channel conditioning ----------------------------------
+        if cfg.self_cond:
+            sc = jnp.zeros_like(x) if x_self_cond is None else x_self_cond
+            x = jnp.concatenate([sc, x], axis=-1)
+        if cfg.cat_cond and cfg.cond_channels > 0:
+            if cond is None:
+                cond = jnp.zeros(x.shape[:3] + (cfg.cond_channels,), x.dtype)
+            x = jnp.concatenate([cond, x], axis=-1)
+        if cfg.dx_cond and cfg.cat_dx:
+            dx_cat = jnp.zeros(x.shape[:3] + (cfg.in_channels,), x.dtype) if dx is None else dx
+            x = jnp.concatenate([x, dx_cat], axis=-1)
+
+        x = TorchConv2d(ch, kernel=3, name="conv_in")(x)
+
+        combine = []
+        if cfg.cond_channels > 0 and not cfg.cat_cond:
+            combine.append(CondEncoder(ch, name="cond_enc")(cond)
+                           if cond is not None else jnp.zeros_like(x))
+        if cfg.dx_cond and not cfg.cat_dx:
+            combine.append(CondEncoder(ch, name="dx_enc")(dx)
+                           if dx is not None else jnp.zeros_like(x))
+        if combine:
+            x = jnp.concatenate([x] + combine, axis=-1)
+            x = TorchConv2d(ch, kernel=1, name="combine_enc")(x)
+
+        num_resolutions = len(cfg.ch_mult)
+        curr_res = cfg.resolution
+
+        # --- encoder ------------------------------------------------------
+        hs = [x]
+        h = x
+        for i_level in range(num_resolutions):
+            block_out = ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks):
+                h = ResnetBlock(block_out, cfg.dropout,
+                                name=f"down_{i_level}_block_{i_block}")(h, temb, deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+                hs.append(h)
+            if i_level != num_resolutions - 1:
+                h = Downsample(cfg.resamp_with_conv, name=f"down_{i_level}_downsample")(hs[-1])
+                hs.append(h)
+                curr_res //= 2
+
+        # --- middle -------------------------------------------------------
+        block_in = h.shape[-1]
+        h = ResnetBlock(block_in, cfg.dropout, name="mid_block_1")(h, temb, deterministic)
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, cfg.dropout, name="mid_block_2")(h, temb, deterministic)
+
+        # --- decoder ------------------------------------------------------
+        for i_level in reversed(range(num_resolutions)):
+            block_out = ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResnetBlock(block_out, cfg.dropout,
+                                name=f"up_{i_level}_block_{i_block}")(h, temb, deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(cfg.resamp_with_conv, name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+        assert not hs
+
+        h = nn.silu(ddpm_group_norm(h.shape[-1])(h))
+        return TorchConv2d(cfg.out_ch, kernel=3, name="conv_out")(h)

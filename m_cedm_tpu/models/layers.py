@@ -1,0 +1,231 @@
+"""Shared neural-net layers (flax.linen, NHWC) with reference-matching init.
+
+Parity targets:
+  - weight_init modes:            models/adm_blocks.py:10-15
+  - Linear / Conv2d w/ resampling: models/adm_blocks.py:19-82
+  - GroupNorm conventions:        models/adm_blocks.py:86-97 (eps 1e-5,
+                                  groups=min(32, C//4)) and
+                                  models/ddim_blocks.py:62-63 (eps 1e-6, 32)
+
+TPU-first design notes:
+  * NHWC everywhere — the native layout for XLA:TPU convolutions; the MXU sees
+    convs as large implicit GEMMs without transposes.
+  * All reference configs use resample_filter=[1,1]; with that filter the EDM
+    "conv_transpose x4 filter" upsample is exactly nearest-neighbour 2x and the
+    downsample is exactly 2x2 mean pooling, so we implement them as
+    jnp.repeat / avg-pool which XLA fuses into neighbouring ops (no grouped
+    conv needed). General filters would use a depthwise conv.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def make_initializer(mode: str, scale: float, fan_in: int, fan_out: int):
+    """Weight init distribution family used by ADM (explicit fan override:
+    conv fans are in_ch*k*k, which differs from flax's defaults)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        if mode == "xavier_uniform":
+            bound = math.sqrt(6 / (fan_in + fan_out))
+            return jax.random.uniform(key, shape, dtype, -bound, bound) * scale
+        if mode == "xavier_normal":
+            std = math.sqrt(2 / (fan_in + fan_out))
+            return jax.random.normal(key, shape, dtype) * std * scale
+        if mode == "kaiming_uniform":
+            bound = math.sqrt(3 / fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound) * scale
+        if mode == "kaiming_normal":
+            std = math.sqrt(1 / fan_in)
+            return jax.random.normal(key, shape, dtype) * std * scale
+        raise ValueError(f"invalid init mode {mode!r}")
+
+    return init
+
+
+class Linear(nn.Module):
+    """Dense layer with ADM-style init (fan computed on features)."""
+    features: int
+    use_bias: bool = True
+    init_mode: str = "kaiming_normal"
+    init_weight: float = 1.0
+    init_bias: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w_init = make_initializer(self.init_mode, self.init_weight, in_features, self.features)
+        kernel = self.param("kernel", w_init, (in_features, self.features))
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            b_init = make_initializer(self.init_mode, self.init_bias, in_features, self.features)
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+def upsample2x_nearest(x):
+    """Exact equivalent of the EDM conv_transpose(f*4, stride 2) upsample for
+    resample_filter=[1,1]: nearest-neighbour 2x. x: (B, H, W, C)."""
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def downsample2x_mean(x):
+    """Exact equivalent of the EDM depthwise conv(f, stride 2) downsample for
+    resample_filter=[1,1]: 2x2 mean pooling. x: (B, H, W, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1 conv with optional (pre-)up/downsampling, ADM-style init.
+
+    kernel == 0 means "resample only" (used by UNetBlock skip connections).
+    Padding is SAME with zeros, matching torch's conv2d(padding=k//2).
+    """
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    up: bool = False
+    down: bool = False
+    init_mode: str = "kaiming_normal"
+    init_weight: float = 1.0
+    init_bias: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        assert not (self.up and self.down)
+        if self.up:
+            x = upsample2x_nearest(x)
+        if self.down:
+            x = downsample2x_mean(x)
+        if self.kernel == 0:
+            return x
+        in_ch = x.shape[-1]
+        k = self.kernel
+        fan_in = in_ch * k * k
+        fan_out = self.features * k * k
+        w_init = make_initializer(self.init_mode, self.init_weight, fan_in, fan_out)
+        kernel = self.param("kernel", w_init, (k, k, in_ch, self.features))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(k // 2, k // 2), (k // 2, k // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b_init = make_initializer(self.init_mode, self.init_bias, fan_in, fan_out)
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class TorchConv2d(nn.Module):
+    """Conv with torch's default init (kaiming_uniform a=sqrt(5) on weights,
+    uniform(-1/sqrt(fan_in), .) bias) — used by the DDPM U-Net whose layers
+    are plain torch.nn.Conv2d in the reference. Supports stride and explicit
+    asymmetric padding (Downsample pads (0,1,0,1) before a valid conv)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = "same_torch"  # int, 'valid', or 'same_torch' (= k // 2)
+    use_bias: bool = True
+    padding_mode: str = "zeros"  # or 'circular'
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel
+        fan_in = in_ch * k * k
+        bound_w = math.sqrt(6.0 / ((1 + 5) * fan_in))  # kaiming_uniform(a=sqrt(5))
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_w, bound_w),
+            (k, k, in_ch, self.features))
+        if self.padding == "same_torch":
+            pad = k // 2
+            padding = [(pad, pad), (pad, pad)]
+        elif self.padding == "valid" or self.padding == 0:
+            padding = [(0, 0), (0, 0)]
+        elif isinstance(self.padding, int):
+            padding = [(self.padding, self.padding)] * 2
+        else:
+            padding = self.padding
+        if self.padding_mode == "circular" and padding != [(0, 0), (0, 0)]:
+            x = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)), mode="wrap")
+            padding = [(0, 0), (0, 0)]
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bound_b = 1.0 / math.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_b, bound_b),
+                (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch's default nn.Linear init."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        bound_w = math.sqrt(6.0 / ((1 + 5) * in_features))
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_w, bound_w),
+            (in_features, self.features))
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bound_b = 1.0 / math.sqrt(in_features)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_b, bound_b),
+                (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+def adm_group_norm(num_channels: int, eps: float = 1e-5,
+                   num_groups: int = 32, min_channels_per_group: int = 4) -> nn.GroupNorm:
+    """ADM convention: groups = min(32, C // 4), eps 1e-5."""
+    groups = min(num_groups, num_channels // min_channels_per_group)
+    return nn.GroupNorm(num_groups=groups, epsilon=eps)
+
+
+def ddpm_group_norm(num_channels: int) -> nn.GroupNorm:
+    """DDPM convention: 32 groups, eps 1e-6."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6)
+
+
+def fp32_softmax_attention(q, k, v):
+    """softmax(q^T k / sqrt(d)) v with fp32 accumulation regardless of the
+    activation dtype (ADM forces fp32 here for numeric safety; on TPU the MXU
+    accumulates fp32 natively, we additionally keep the softmax in fp32).
+
+    q, k, v: (N, L, D) with N = batch*heads, L tokens, D channels per head.
+    Returns (N, L, D).
+    """
+    dtype = q.dtype
+    scale = 1.0 / math.sqrt(k.shape[-1])
+    logits = jnp.einsum("nqd,nkd->nqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32) * scale)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("nqk,nkd->nqd", w, v.astype(jnp.float32))
+    return out.astype(dtype)
