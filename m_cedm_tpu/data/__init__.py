@@ -1,0 +1,7 @@
+from m_cedm_tpu.data.datamodule import (
+    HDF5Datamodule,
+    HDF5MaskDatamodule,
+    HDF5TimeMaskDatamodule,
+    HDF5SparseMaskDatamodule,
+)
+from m_cedm_tpu.data import masks
