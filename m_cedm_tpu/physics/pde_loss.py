@@ -146,7 +146,7 @@ class SweFvLoss:
             return jnp.nan_to_num(jax.grad(scalar_loss)(pred))
         loss = self.residual(pred, gt, normalizer_h, normalizer_u)
         if clamp_loss:
-            loss = jnp.clip(loss, a_max=1.0)
+            loss = jnp.clip(loss, max=1.0)
         return loss
 
 
@@ -201,7 +201,7 @@ class DarcyLoss:
         t, n = loss.shape[1], loss.shape[2]
         loss = loss / (t * n)
         if clamp_loss:
-            loss = jnp.clip(loss, a_max=1.0)
+            loss = jnp.clip(loss, max=1.0)
         return loss
 
 
