@@ -50,16 +50,30 @@ class SpectralConv2d(nn.Module):
         w1i = self.param("w1_imag", u_init, (in_ch, self.out_channels, m1, m2))
         w2r = self.param("w2_real", u_init, (in_ch, self.out_channels, m1, m2))
         w2i = self.param("w2_imag", u_init, (in_ch, self.out_channels, m1, m2))
-        w1 = w1r + 1j * w1i
-        w2 = w2r + 1j * w2i
 
         x_ft = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, W//2+1, C)
-        top = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, :m1, :m2], w1)
-        bot = jnp.einsum("bxyi,ioxy->bxyo", x_ft[:, -m1:, :m2], w2)
 
-        out_ft = jnp.zeros((b, h, w // 2 + 1, self.out_channels), jnp.complex64)
-        out_ft = out_ft.at[:, :m1, :m2].set(top)
-        out_ft = out_ft.at[:, h - m1:, :m2].set(bot)
+        def cmul(block, wr, wi):
+            # complex contraction as 4 real einsums — feeds the MXU directly
+            # (and sidesteps missing complex-dot support in some backends)
+            br, bi = jnp.real(block), jnp.imag(block)
+            out_r = (jnp.einsum("bxyi,ioxy->bxyo", br, wr)
+                     - jnp.einsum("bxyi,ioxy->bxyo", bi, wi))
+            out_i = (jnp.einsum("bxyi,ioxy->bxyo", br, wi)
+                     + jnp.einsum("bxyi,ioxy->bxyo", bi, wr))
+            return out_r, out_i
+
+        top_r, top_i = cmul(x_ft[:, :m1, :m2], w1r, w1i)
+        bot_r, bot_i = cmul(x_ft[:, -m1:, :m2], w2r, w2i)
+
+        # assemble the truncated spectrum in real/imag planes (complex
+        # constants are avoided entirely: some TPU runtimes lack them)
+        spec_shape = (b, h, w // 2 + 1, self.out_channels)
+        out_r = jnp.zeros(spec_shape, jnp.float32)
+        out_i = jnp.zeros(spec_shape, jnp.float32)
+        out_r = out_r.at[:, :m1, :m2].set(top_r).at[:, h - m1:, :m2].set(bot_r)
+        out_i = out_i.at[:, :m1, :m2].set(top_i).at[:, h - m1:, :m2].set(bot_i)
+        out_ft = jax.lax.complex(out_r, out_i)
         return jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
 
 

@@ -4,3 +4,9 @@ from m_cedm_tpu.tasks.diffusion import (
     CondDdimTask,
     CondEdmTask,
 )
+from m_cedm_tpu.tasks.fno import (
+    Fno2dTask,
+    FnoStateReconstrTask,
+    FnoStateTimePredTask,
+    FnoTimePredTask,
+)

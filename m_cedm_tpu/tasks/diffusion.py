@@ -91,6 +91,8 @@ class DiffusionTaskBase:
     """Shared machinery: backbone, transforms, optimizer, PDE loss, EMA."""
 
     default_cond_p = 0.0
+    # sampling-based validation runs every 100 epochs (mcedm.py:284)
+    val_every = 100
 
     def __init__(self, hparams, grad_clip: Optional[float] = 1.0):
         self.hparams = hparams

@@ -112,7 +112,7 @@ class FnoTaskBase:
     def _init_params(self, rng):
         t = self.time_history
         x0 = jnp.zeros((1, 16, t, self.cfg.input_size), jnp.float32)
-        return self.model.init(rng, x0)
+        return jax.jit(self.model.init)(rng, x0)
 
     def _apply_updates(self, state, grads, metrics):
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)

@@ -62,9 +62,11 @@ def get_logger(name=__name__) -> logging.Logger:
     logger = logging.getLogger(name)
     if not any(isinstance(f, _MainProcessFilter) for f in logger.filters):
         logger.addFilter(_MainProcessFilter())
-    if not logging.getLogger().handlers and not logger.handlers:
+    if not logger.handlers:
         handler = logging.StreamHandler()
-        handler.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
+        handler.setFormatter(logging.Formatter(
+            "[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
+        logger.propagate = False  # avoid double prints via jax's root handler
     return logger

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Train + test driver (the reference's `run.py` CLI, hydra-compatible).
+
+Usage (identical surface to the reference, README.md:16-62):
+
+    python run.py --config-name=config_adm_edm_mcedm_res32.yaml \
+        trainer.max_epochs=1 datamodule.batch_size=16 system=swe_per
+
+Flow (parity with reference run.py:30-123): compose config -> route dataset
+paths by system/res/n_train -> seed -> build datamodule, callbacks, trainer,
+task -> set test sampler + PDE loss -> fit (with optional resume) -> test ->
+return the optuna objective (val_mae_u_scaled).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+import numpy as np
+
+from m_cedm_tpu.config import compose, instantiate, to_plain
+from m_cedm_tpu.parallel import distributed_init
+from m_cedm_tpu.train.loop import Trainer
+from m_cedm_tpu.train.metrics import MetricsLogger
+from m_cedm_tpu.utils import get_logger, override_data_folders
+
+log = get_logger(__name__)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-name", default="config.yaml")
+    p.add_argument("--config-path", default="configs")
+    p.add_argument("overrides", nargs="*", help="hydra-style key=value overrides")
+    return p.parse_args(argv)
+
+
+def build_run_dir(cfg) -> str:
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    root = cfg.get("logs_root_folder", "") or ""
+    return os.path.join(f"{root}logs", "runs",
+                        f"{cfg.get('name', 'run')}{cfg.get('subname', '')}{stamp}")
+
+
+def main(argv=None) -> float:
+    args = parse_args(argv)
+    distributed_init()
+    cfg = compose(args.config_path, args.config_name, args.overrides)
+
+    res = cfg.get("res", 128)
+    n_train = cfg.get("n_train", 1000)
+    cfg.datamodule = override_data_folders(cfg.datamodule, cfg.dataroot,
+                                           cfg.get("system"), res, n_train=n_train)
+
+    model_name = cfg.model.hparams.name
+    dataset = cfg.datamodule.name
+    log.info(f"This run trains and tests the model {model_name} on the {dataset} dataset")
+
+    seed = cfg.get("seed", 0)
+    np.random.seed(seed)
+
+    out_dir = build_run_dir(cfg)
+    sampler_name = (cfg.get("diff_sampler") or {}).get("name", "")
+    run_name = f"{model_name}_{dataset}_{seed}{sampler_name}{cfg.get('subname', '')}"
+    logger = MetricsLogger(out_dir, run_name=run_name, use_wandb=True)
+    logger.log_config(to_plain(cfg))
+    log.info(f"Output dir is {out_dir}")
+
+    # n_samples == 100 -> test batch size 1 (reference run.py:52-54)
+    if cfg.get("diff_sampler") is not None and cfg.diff_sampler.get("n_samples") == 100:
+        cfg.datamodule.test_batch_size = 1
+
+    datamodule = instantiate(cfg.datamodule)
+
+    callbacks = []
+    ckpt_monitor, ckpt_mode = None, "min"
+    for cb_name, cb_conf in (cfg.get("callbacks") or {}).items():
+        if not isinstance(cb_conf, dict) or "_target_" not in cb_conf:
+            continue
+        if "CheckpointManager" in cb_conf["_target_"] or "ModelCheckpoint" in cb_conf["_target_"]:
+            ckpt_monitor = cb_conf.get("monitor")
+            ckpt_mode = cb_conf.get("mode", "min")
+            continue  # checkpointing is owned by the Trainer
+        callbacks.append(instantiate(cb_conf))
+
+    trainer_kw = {k: v for k, v in cfg.trainer.items() if k != "_target_"}
+    trainer = Trainer(
+        max_epochs=trainer_kw.get("max_epochs", 500),
+        check_val_every_n_epoch=trainer_kw.get("check_val_every_n_epoch", 1),
+        gradient_clip_val=trainer_kw.get("gradient_clip_val"),
+        callbacks=callbacks, logger=logger, out_dir=out_dir, seed=seed,
+        ckpt_monitor=ckpt_monitor, ckpt_mode=ckpt_mode)
+
+    task = instantiate(cfg.model,
+                       grad_clip=trainer_kw.get("gradient_clip_val"))
+
+    if cfg.get("diff_sampler") is not None:
+        log.info("Set sampler params")
+        task.set_test_sampler_params(cfg.diff_sampler)
+
+    if cfg.get("system") is not None:
+        log.info("Set pde loss for a concrete system")
+        task.set_pde_loss_function(cfg.system, datamodule.flip_xy)
+
+    ckpt_path = cfg.get("ckpt_path")
+    trainer.fit(task, datamodule, ckpt_path=ckpt_path)
+
+    metric_key = "val_mae_u_scaled"
+    metric = logger.summary.get(metric_key, np.inf)
+    if metric is np.inf:
+        log.warning(f"Metric {metric_key} not found in summary")
+
+    trainer.test(task, datamodule)
+    logger.finish()
+    return float(metric)
+
+
+if __name__ == "__main__":
+    main()
