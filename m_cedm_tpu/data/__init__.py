@@ -5,3 +5,7 @@ from m_cedm_tpu.data.datamodule import (
     HDF5SparseMaskDatamodule,
 )
 from m_cedm_tpu.data import masks
+from m_cedm_tpu.data.oformer_data import (
+    PlOformerSwpDatamodule,
+    PlOformerSwpTimePredDatamodule,
+)

@@ -10,3 +10,8 @@ from m_cedm_tpu.tasks.fno import (
     FnoStateTimePredTask,
     FnoTimePredTask,
 )
+from m_cedm_tpu.tasks.oformer import (
+    OformerTask,
+    OformerTimePredTask,
+    OformerStateTimePredTask,
+)

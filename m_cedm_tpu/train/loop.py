@@ -84,7 +84,10 @@ class Trainer:
 
         steps_per_epoch = datamodule.num_batches("train")
         if hasattr(task, "configure_lr_schedule"):
-            task.configure_lr_schedule(steps_per_epoch)
+            try:
+                task.configure_lr_schedule(steps_per_epoch, self.max_epochs)
+            except TypeError:
+                task.configure_lr_schedule(steps_per_epoch)
 
         key, init_key = jax.random.split(key)
         state = task.init_state(init_key, datamodule.get_norm_stats())
@@ -191,7 +194,9 @@ class Trainer:
                 metrics, pred = task.eval_step(state, batch, k, split=split)
                 self.logger.accumulate(metrics)
                 outputs["pred"] = np.asarray(pred)
-                outputs["target"] = np.asarray(batch[3])
+                target_fn = getattr(task, "eval_target", None)
+                outputs["target"] = np.asarray(
+                    target_fn(batch) if target_fn else batch[3])
             for cb in self.callbacks:
                 cb.on_eval_batch(outputs, batch_idx, split)
         for cb in self.callbacks:

@@ -1,0 +1,280 @@
+"""OFormer model + task tests, incl. torch cross-checks of the linear
+attention kernel and RoPE."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from m_cedm_tpu.config import to_dotdict
+from m_cedm_tpu.data.h5_io import write_store
+from m_cedm_tpu.data.oformer_data import (
+    PlOformerSwpDatamodule,
+    PlOformerSwpTimePredDatamodule,
+)
+from m_cedm_tpu.models.encoding import (
+    apply_rotary_pos_emb_1d,
+    rotary_freqs,
+)
+from m_cedm_tpu.models.oformer import (
+    IrregSTDecoder,
+    IrregSTEncoder,
+    LinearAttention,
+    OformerDecoderConfig,
+    OformerEncoderConfig,
+    instance_norm_tokens,
+)
+from m_cedm_tpu.tasks.oformer import OformerTask, OformerTimePredTask
+
+T, X = 8, 8
+NTOK = T * X
+B = 2
+
+
+class TestRotary:
+    def test_freqs_match_torch(self):
+        coords = np.random.RandomState(0).rand(2, 10).astype(np.float32)
+        dim, min_freq, scale = 16, 1 / 64, 1.0
+        inv = 1.0 / (10000 ** (np.arange(0, dim, 2) / dim))
+        t = coords * (scale / min_freq)
+        ref = np.concatenate([t[..., None] * inv, t[..., None] * inv], axis=-1)
+        got = rotary_freqs(jnp.asarray(coords), dim, min_freq, scale)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5)
+
+    def test_rope_preserves_norm(self):
+        t = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 10, 16))
+        freqs = rotary_freqs(jnp.linspace(0, 1, 10)[None].repeat(2, 0), 16)
+        freqs = jnp.broadcast_to(freqs[:, None], (2, 4, 10, 16))
+        out = apply_rotary_pos_emb_1d(t, freqs)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                                   np.linalg.norm(np.asarray(t), axis=-1),
+                                   rtol=1e-4)
+
+
+class TestLinearAttention:
+    def test_galerkin_kernel_matches_torch(self):
+        """The attention math k^T v -> q (k^T v) / n with instance-normed k, v
+        must agree with a direct torch transcription on the same q, k, v."""
+        rs = np.random.RandomState(0)
+        q = rs.randn(B, 2, 10, 8).astype(np.float32)
+        k = rs.randn(B, 2, 10, 8).astype(np.float32)
+        v = rs.randn(B, 2, 10, 8).astype(np.float32)
+
+        kn = instance_norm_tokens(jnp.asarray(k))
+        vn = instance_norm_tokens(jnp.asarray(v))
+        got = jnp.einsum("bhnd,bhde->bhne", jnp.asarray(q),
+                         jnp.einsum("bhnd,bhne->bhde", kn, vn)) / 10
+
+        kt = torch.nn.functional.instance_norm(
+            torch.tensor(k).reshape(B * 2, 10, 8).transpose(1, 2)
+        ).transpose(1, 2).reshape(B, 2, 10, 8)
+        vt = torch.nn.functional.instance_norm(
+            torch.tensor(v).reshape(B * 2, 10, 8).transpose(1, 2)
+        ).transpose(1, 2).reshape(B, 2, 10, 8)
+        dots = torch.matmul(kt.transpose(-1, -2), vt)
+        ref = torch.matmul(torch.tensor(q), dots) * (1.0 / 10)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_forward_shapes(self):
+        attn = LinearAttention(32, "galerkin", heads=2, dim_head=16,
+                               relative_emb=True, scale=16.0,
+                               relative_emb_dim=2, min_freq=1 / 8)
+        x = jnp.zeros((B, NTOK, 32))
+        pos = jnp.zeros((B, NTOK, 2))
+        params = attn.init(jax.random.PRNGKey(0), x, pos)
+        out = attn.apply(params, x, pos)
+        assert out.shape == (B, NTOK, 32)
+
+    def test_fourier_variant(self):
+        attn = LinearAttention(32, "fourier", heads=2, dim_head=16,
+                               relative_emb=True, scale=16.0,
+                               relative_emb_dim=2, min_freq=1 / 8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, NTOK, 32))
+        pos = jnp.zeros((B, NTOK, 2))
+        params = attn.init(jax.random.PRNGKey(0), x, pos)
+        out = attn.apply(params, x, pos)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+def enc_cfg():
+    return OformerEncoderConfig(input_channels=3, time_window=1, in_emb_dim=32,
+                                out_channels=32, max_node_type=2, heads=1,
+                                depth=4, res=X, use_ln=True,
+                                relative_emb_dim=2)
+
+
+def dec_cfg():
+    return OformerDecoderConfig(max_node_type=2, latent_channels=32,
+                                out_channels=1, res=X, scale=2.0, dropout=0.0,
+                                relative_emb_dim=2)
+
+
+class TestEncoderDecoder:
+    def test_encoder_shapes(self):
+        enc = IrregSTEncoder(enc_cfg())
+        x = jnp.zeros((B, 1, NTOK, 3))
+        nt = jnp.zeros((B, NTOK, 1), jnp.int32)
+        pos = jnp.zeros((B, NTOK, 2))
+        params = enc.init(jax.random.PRNGKey(0), x, nt, pos)
+        z = enc.apply(params, x, nt, pos)
+        assert z.shape == (B, NTOK, 32)
+
+    def test_decoder_rollout(self):
+        dec = IrregSTDecoder(dec_cfg())
+        z = jnp.zeros((B, NTOK, 32))
+        pos = jnp.zeros((B, NTOK, 2))
+        nt = jnp.zeros((B, NTOK, 1), jnp.int32)
+        params = dec.init(jax.random.PRNGKey(0), z, pos, nt, 3, pos)
+        out = dec.apply(params, z, pos, nt, 3, pos)
+        assert out.shape == (B, 3, NTOK, 1)
+        # fourier feature matrix lives in the frozen collection
+        assert "constants" in params
+
+    def test_decoder_steps_differ(self):
+        """Latent propagation must evolve: step outputs should differ."""
+        dec = IrregSTDecoder(dec_cfg())
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, NTOK, 32))
+        pos = jax.random.uniform(jax.random.PRNGKey(2), (B, NTOK, 2))
+        nt = jnp.zeros((B, NTOK, 1), jnp.int32)
+        params = dec.init(jax.random.PRNGKey(0), z, pos, nt, 2, pos)
+        out = dec.apply(params, z, pos, nt, 2, pos)
+        assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]))
+
+
+def oformer_hparams():
+    return to_dotdict({
+        "name": "oformer_t", "time_history": T,
+        "encoder": {"input_channels": 3, "time_window": 1, "in_emb_dim": 32,
+                    "out_channels": 32, "max_node_type": 2, "heads": 1,
+                    "depth": 4, "res": X, "use_ln": True, "emb_dropout": 0.0,
+                    "relative_emb_dim": 2},
+        "decoder": {"max_node_type": 2, "latent_channels": 32,
+                    "out_channels": 1, "res": X, "scale": 2, "dropout": 0.1,
+                    "relative_emb_dim": 2},
+        "norm_shape": [], "loss": "mse", "lr": 1e-3, "weight_decay": 1e-4,
+        "curriculum_steps": 8, "curriculum_ratio": 0.2,
+    })
+
+
+def token_batch():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, 1, NTOK, 3).astype(np.float32))
+    y = jnp.asarray(rs.randn(B, 1, NTOK, 1).astype(np.float32))
+    nt = jnp.zeros((B, NTOK, 1), jnp.int32)
+    tg, xg = np.meshgrid(np.linspace(0, 1, T), np.linspace(0, 1, X),
+                         indexing="ij")
+    pos = jnp.asarray(np.broadcast_to(
+        np.stack([tg, xg], -1).reshape(-1, 2)[None], (B, NTOK, 2)).astype(np.float32))
+    n_time = jnp.full((B,), T, jnp.int32)
+    return x, y, nt, pos, n_time
+
+
+class TestOformerTask:
+    def setup_method(self):
+        self.task = OformerTask(oformer_hparams(), steps_per_epoch=2,
+                                max_epochs=4)
+        self.task.set_pde_loss_function("swe_per", False)
+        self.state = self.task.init_state(jax.random.PRNGKey(0))
+        self.batch = token_batch()
+
+    def test_train_step(self):
+        state2, metrics = self.task.train_step(self.state, self.batch,
+                                               jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["train_loss"]))
+        assert int(state2.step) == 1
+
+    def test_constants_frozen(self):
+        state = self.state
+        b0 = np.asarray(jax.tree_util.tree_leaves(state.params["constants"])[0])
+        for i in range(3):
+            state, _ = self.task.train_step(state, self.batch,
+                                            jax.random.PRNGKey(i))
+        b1 = np.asarray(jax.tree_util.tree_leaves(state.params["constants"])[0])
+        np.testing.assert_array_equal(b0, b1)
+
+    def test_eval_metrics(self):
+        metrics, pred = self.task.eval_step(self.state, self.batch, split="val")
+        expected = {"val_loss", "val_mae_u", "val_mae_u_un", "val_corr",
+                    "val_mae_u_scaled", "val_pde_loss", "val_pde_loss_gt"}
+        assert set(metrics) == expected
+        assert pred.shape == (B, T, X, 1)
+
+    def test_loss_decreases(self):
+        state = self.state
+        first = None
+        for i in range(25):
+            state, m = self.task.train_step(state, self.batch,
+                                            jax.random.PRNGKey(7))
+            if first is None:
+                first = float(m["train_loss"])
+        assert float(m["train_loss"]) < first
+
+
+class TestOformerData:
+    @pytest.fixture(scope="class")
+    def h5_paths(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("odata")
+        path = str(root / "train.h5")
+        rs = np.random.RandomState(0)
+        inp = rs.rand(6, T, X, 1).astype(np.float32)
+        tar = rs.rand(6, T, X, 1).astype(np.float32)
+        write_store(path, inp, tar, np.linspace(0, 1, X).astype(np.float32),
+                    np.linspace(0, 0.1, T).astype(np.float32))
+        return path
+
+    def test_swp_datamodule(self, h5_paths):
+        dm = PlOformerSwpDatamodule(train_path=h5_paths, val_path=h5_paths,
+                                    test_path=h5_paths, batch_size=3,
+                                    return_abs_coords=True, norm_x=True,
+                                    norm_t=True, add_t=True, train_2d=True)
+        x, y, nt, pos, n_time = next(dm.iter_split("train",
+                                                   np.random.default_rng(0)))
+        assert x.shape == (3, 1, NTOK, 3)  # state + t + x channels
+        assert y.shape == (3, 1, NTOK, 1)
+        assert nt.shape == (3, NTOK, 1)
+        assert pos.shape == (3, NTOK, 2)
+        assert int(n_time[0]) == T
+        # boundary tokens marked
+        grid_nt = nt[0].reshape(T, X)
+        assert grid_nt[0].min() == 1 and grid_nt[1, 1] == 0
+
+    def test_timepred_datamodule(self, h5_paths):
+        dm = PlOformerSwpTimePredDatamodule(
+            train_path=h5_paths, val_path=h5_paths, test_path=h5_paths,
+            batch_size=3, return_abs_coords=True, norm_x=True, norm_t=True,
+            add_t=True, n_history=T // 2)
+        batch = next(dm.iter_split("train", np.random.default_rng(0)))
+        x, y, nt_i, nt_p, pos_i, pos_p, n_time = batch
+        assert x.shape == (3, 1, T // 2 * X, 4)  # u + s + t + x channels
+        assert y.shape == (3, 1, T // 2 * X, 2)  # u + s
+        assert int(n_time[0]) == T // 2
+
+
+class TestOformerTimePredTask:
+    def test_train_eval(self):
+        hp = oformer_hparams()
+        hp["encoder"]["input_channels"] = 4
+        hp["decoder"]["out_channels"] = 2
+        task = OformerTimePredTask(hp, steps_per_epoch=2, max_epochs=4)
+        task.set_pde_loss_function("swe_per", False)
+        stats = {"input_mean": 0.5, "input_std": 1.0, "target_mean": 0.0,
+                 "target_std": 1.0, "norm_input": True, "norm_target": True,
+                 "input_min": 0.0, "input_min_max": 1.0, "target_min": 0.0,
+                 "target_min_max": 1.0}
+        state = task.init_state(jax.random.PRNGKey(0), stats)
+        rs = np.random.RandomState(0)
+        half = T // 2 * X
+        batch = (
+            jnp.asarray(rs.randn(B, 1, half, 4).astype(np.float32)),
+            jnp.asarray(rs.randn(B, 1, half, 2).astype(np.float32)),
+            jnp.zeros((B, half, 1), jnp.int32),
+            jnp.zeros((B, half, 1), jnp.int32),
+            jnp.zeros((B, half, 2)),
+            jnp.zeros((B, half, 2)),
+            jnp.full((B,), T // 2, jnp.int32),
+        )
+        state2, metrics = task.train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["train_loss"]))
+        metrics, pred = task.eval_step(state, batch, split="test")
+        assert "test_pde_loss" in metrics
