@@ -84,6 +84,60 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
     return trajs, x, t, lambdas, gammas
 
 
+@partial(jax.jit, static_argnames=("xdim", "n_time_steps", "n_traj", "substeps"))
+def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
+                                 n_time_steps: int = 128, T_end: float = 1.28,
+                                 x_min: float = -2.5, x_max: float = 2.5,
+                                 substeps: int = 8):
+    """Dam-break / Gaussian-perturbation trajectories (the `swe` system).
+
+    Initial conditions mirror the reference generator
+    (generate/gen_dam_break_1d.py:64-81 with sim_dam_break_1d.py:307-322):
+      h0 = h_in + eps * exp(-0.5 (x - x0)^2 / sigma^2),  hu0 = init_u
+      h_in ~ U(1.2, 5.2), eps ~ U(0.05, 1), x0 ~ U(-1, 1),
+      init_u ~ U(-2.2, 2.2), sigma ~ U(0.2, 2)
+    Integrated with the HLL Godunov solver (physics/riemann.py) on
+    [-2.5, 2.5] with extrapolation boundaries.
+    """
+    from m_cedm_tpu.physics.riemann import conservative_to_primitive, integrate
+
+    step = (x_max - x_min) / xdim
+    x = jnp.linspace(x_min + step / 2, x_max - step / 2, xdim)
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    h_in = jax.random.uniform(k1, (n_traj, 1), minval=1.2, maxval=5.2)
+    eps = jax.random.uniform(k2, (n_traj, 1), minval=0.05, maxval=1.0)
+    x0 = jax.random.uniform(k3, (n_traj, 1), minval=-1.0, maxval=1.0)
+    init_u = jax.random.uniform(k4, (n_traj, 1), minval=-2.2, maxval=2.2)
+    sigma = jax.random.uniform(k5, (n_traj, 1), minval=0.2, maxval=2.0)
+
+    h0 = h_in + eps * jnp.exp(-0.5 * (x[None, :] - x0) ** 2 / sigma ** 2)
+    hu0 = jnp.broadcast_to(init_u, h0.shape)
+    q0 = jnp.stack([h0, hu0], axis=-1)
+
+    dt_store = T_end / n_time_steps
+    traj_q = integrate(q0, dt_store, step, n_time_steps, substeps=substeps,
+                       flux="hll", boundary="extrap")
+    trajs = conservative_to_primitive(traj_q)
+    t = jnp.linspace(0.0, T_end, n_time_steps)
+    consts = dict(inner_height=h_in[:, 0], init_stimulus=eps[:, 0],
+                  x0=x0[:, 0], init_u=init_u[:, 0], sigma=sigma[:, 0])
+    return trajs, x, t, consts
+
+
+def write_swe_dam_break_dataset(path: str, key, n_traj: int, xdim: int = 128,
+                                n_time_steps: int = 128, T_end: float = 1.28,
+                                seed_offset: int = 0):
+    trajs, x, t, consts = generate_swe_dam_break_batch(
+        key, n_traj, xdim, n_time_steps, T_end)
+    trajs = np.asarray(trajs)
+    write_store(path, inputs=trajs[..., 0:1], targets=trajs[..., 1:2],
+                x=np.broadcast_to(np.asarray(x), (n_traj, xdim)),
+                t=np.broadcast_to(np.asarray(t), (n_traj, n_time_steps)),
+                consts={k: np.asarray(v) for k, v in consts.items()},
+                seed_offset=seed_offset)
+
+
 def _gaussian_smooth_2d(field, sigma: float = 3.0):
     """Separable Gaussian blur via two 1D convolutions."""
     radius = int(3 * sigma)
@@ -189,15 +243,22 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     k_train, k_test = jax.random.split(key)
     res = args.res
-    if args.system in ("swe_per", "swe"):
-        sub = f"1D_swp_{res}_per" if args.system == "swe_per" else f"1D_swp_{res}"
-        base = "1D_swp_" + (f"{res}_per" if args.system == "swe_per" else f"{res}")
-        T_end = 0.128 if args.system == "swe_per" else 1.28
+    if args.system == "swe_per":
+        sub = base = f"1D_swp_{res}_per"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
         write_swe_dataset(os.path.join(args.out, sub, f"{base}_train.h5"),
-                          k_train, args.n_train, res, res, T_end)
+                          k_train, args.n_train, res, res, 0.128)
         write_swe_dataset(os.path.join(args.out, sub, f"{base}_test.h5"),
-                          k_test, args.n_test, res, res, T_end, seed_offset=1000)
+                          k_test, args.n_test, res, res, 0.128, seed_offset=1000)
+    elif args.system == "swe":
+        sub = base = f"1D_swp_{res}"
+        os.makedirs(os.path.join(args.out, sub), exist_ok=True)
+        write_swe_dam_break_dataset(
+            os.path.join(args.out, sub, f"{base}_train.h5"), k_train,
+            args.n_train, res, res, 1.28)
+        write_swe_dam_break_dataset(
+            os.path.join(args.out, sub, f"{base}_test.h5"), k_test,
+            args.n_test, res, res, 1.28, seed_offset=1000)
     else:
         sub = "1D_darcy_128"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)

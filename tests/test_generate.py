@@ -1,0 +1,188 @@
+"""Riemann solvers, dam-break generation, preprocessing tests."""
+import subprocess
+import sys
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m_cedm_tpu.data.synthetic import (
+    generate_swe_dam_break_batch,
+    write_swe_dam_break_dataset,
+    write_swe_dataset,
+)
+from m_cedm_tpu.physics.riemann import (
+    conservative_to_primitive,
+    godunov_step,
+    hll_flux,
+    integrate,
+    roe_flux,
+    swe_flux,
+)
+from preprocess_data import (
+    adjust_num_steps,
+    add_stats_to_file,
+    calc_stats,
+    calc_stats_sequential,
+)
+
+
+class TestRiemannSolvers:
+    def test_flux_formula(self):
+        q = jnp.array([[2.0, 1.0]])  # h=2, hu=1
+        f = swe_flux(q)
+        # F = (hu, hu^2/h + g h^2/2) = (1, 0.5 + 2)
+        np.testing.assert_allclose(np.asarray(f[0]), [1.0, 2.5], rtol=1e-5)
+
+    def test_consistency_uniform_state(self):
+        """Both fluxes must reduce to the physical flux for ql == qr."""
+        q = jnp.array([[1.5, 0.3]])
+        for flux in (hll_flux, roe_flux):
+            np.testing.assert_allclose(np.asarray(flux(q, q)),
+                                       np.asarray(swe_flux(q)), rtol=1e-4,
+                                       atol=1e-6)
+
+    def test_still_water_stays_still(self):
+        q0 = jnp.stack([jnp.full((64,), 2.0), jnp.zeros(64)], axis=-1)
+        q = q0
+        for _ in range(20):
+            q = godunov_step(q, 1e-3, 1 / 64)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q0), atol=1e-5)
+
+    def test_mass_conservation_periodic(self):
+        key = jax.random.PRNGKey(0)
+        h0 = 1.0 + 0.1 * jax.random.uniform(key, (64,))
+        q0 = jnp.stack([h0, jnp.zeros(64)], axis=-1)
+        traj = integrate(q0, 1e-3, 1 / 64, 50, substeps=2, boundary="periodic")
+        mass = np.asarray(jnp.sum(traj[..., 0], axis=-1))
+        np.testing.assert_allclose(mass, mass[0], rtol=1e-5)
+
+    def test_dam_break_wave_propagates(self):
+        """A dam break must develop a rightward shock and leftward rarefaction."""
+        x = jnp.linspace(-2.5, 2.5, 128)
+        h0 = jnp.where(x < 0, 2.0, 1.0)
+        q0 = jnp.stack([h0, jnp.zeros_like(h0)], axis=-1)
+        traj = integrate(q0, 0.01, 5 / 128, 30, substeps=4)
+        prim = conservative_to_primitive(traj)
+        # intermediate state forms between h=1 and h=2; velocity is positive
+        h_final = np.asarray(prim[-1, :, 0])
+        u_final = np.asarray(prim[-1, :, 1])
+        mid = h_final[(h_final > 1.05) & (h_final < 1.95)]
+        assert mid.size > 5  # rarefaction fan exists
+        assert u_final.max() > 0.3  # flow toward the low side
+
+    def test_roe_matches_hll_in_smooth_region(self):
+        key = jax.random.PRNGKey(1)
+        h0 = 2.0 + 0.01 * jax.random.normal(key, (64,))
+        q0 = jnp.stack([h0, jnp.zeros(64)], axis=-1)
+        t1 = integrate(q0, 1e-3, 1 / 64, 20, flux="hll")
+        t2 = integrate(q0, 1e-3, 1 / 64, 20, flux="roe")
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=5e-3)
+
+
+class TestDamBreakGeneration:
+    def test_batch_properties(self):
+        trajs, x, t, consts = generate_swe_dam_break_batch(
+            jax.random.PRNGKey(0), n_traj=4, xdim=64, n_time_steps=32)
+        trajs = np.asarray(trajs)
+        assert trajs.shape == (4, 32, 64, 2)
+        assert np.all(np.isfinite(trajs))
+        # heights stay positive, ICs in the sampled ranges
+        assert trajs[..., 0].min() > 0
+        h0 = trajs[:, 0, :, 0]
+        assert h0.min() > 1.1 and h0.max() < 6.3  # h_in + eps ranges
+
+    def test_write_dataset(self, tmp_path):
+        path = str(tmp_path / "dambreak.h5")
+        write_swe_dam_break_dataset(path, jax.random.PRNGKey(0), 3, 32, 16)
+        with h5py.File(path, "r") as f:
+            keys = sorted(f.keys())
+            assert len(keys) == 3
+            assert "inner_height" in f[keys[0]]["const"]
+            assert f.attrs["inp_mean"] > 0
+
+
+class TestPreprocess:
+    @pytest.fixture()
+    def raw_file(self, tmp_path):
+        """Simulator-style file: T+1 time steps, no stats attrs."""
+        path = str(tmp_path / "raw.h5")
+        rs = np.random.RandomState(0)
+        with h5py.File(path, "w") as f:
+            for i in range(4):
+                inp = rs.rand(17, 16, 1).astype(np.float32)
+                tar = rs.rand(17, 16, 1).astype(np.float32)
+                f.create_dataset(f"{i:04d}/data/input", data=inp)
+                f.create_dataset(f"{i:04d}/data/target", data=tar)
+                f.create_dataset(f"{i:04d}/grid/x", data=np.linspace(0, 1, 16))
+                f.create_dataset(f"{i:04d}/grid/t", data=np.linspace(0, 1, 17))
+        return path
+
+    def test_sequential_matches_full(self, raw_file):
+        """The reference's internal consistency check: sequential one-pass
+        stats == full-load stats (preprocess_data.py:113-140)."""
+        s1_inp, s1_tar = calc_stats(raw_file)
+        s2_inp, s2_tar = calc_stats_sequential(raw_file)
+        for k in ("mean", "std", "min", "max"):
+            np.testing.assert_allclose(s1_inp[k], s2_inp[k], atol=1e-5)
+            np.testing.assert_allclose(s1_tar[k], s2_tar[k], atol=1e-5)
+
+    def test_adjust_num_steps(self, raw_file):
+        adjust_num_steps(raw_file, -1)
+        with h5py.File(raw_file, "r") as f:
+            inp = f["0000"]["data"]["input"]
+            assert inp.shape[0] == inp.shape[1] == 16
+
+    def test_full_pipeline_feeds_datamodule(self, raw_file):
+        adjust_num_steps(raw_file, -1)
+        inp_stats, tar_stats = calc_stats_sequential(raw_file)
+        add_stats_to_file(raw_file, inp_stats, tar_stats)
+        from m_cedm_tpu.data.datamodule import HDF5Datamodule
+
+        dm = HDF5Datamodule(train_path=raw_file, val_path=raw_file,
+                            test_path=raw_file, batch_size=2)
+        batch = next(dm.iter_split("train"))
+        assert batch[0].shape == (2, 16, 16, 1)
+
+
+class TestDarcyPreprocess:
+    def test_conversion_roundtrip(self, tmp_path):
+        """Build a fake PDEBench file, convert it, and load through the
+        datamodule."""
+        import preprocess_darcy
+
+        rs = np.random.RandomState(0)
+        n, size = 12, 16
+        src = str(tmp_path / "pdebench.h5")
+        with h5py.File(src, "w") as f:
+            f.create_dataset("nu", data=rs.rand(9100, size, size).astype(np.float32))
+            f.create_dataset("tensor",
+                             data=rs.rand(9100, 1, size, size).astype(np.float32))
+            f.create_dataset("x-coordinate", data=np.linspace(0, 1, size))
+            f.create_dataset("y-coordinate", data=np.linspace(0, 1, size))
+        out = str(tmp_path / "darcy")
+        preprocess_darcy.change_format_h5py_darcy(src, out, n_train=n)
+
+        from m_cedm_tpu.data.datamodule import HDF5Datamodule
+
+        dm = HDF5Datamodule(train_path=f"{out}/darcy_train_{n}.h5",
+                            val_path=f"{out}/darcy_test_{n}.h5",
+                            test_path=f"{out}/darcy_test_{n}.h5", batch_size=4)
+        batch = next(dm.iter_split("train"))
+        assert batch[0].shape == (4, size, size, 1)
+
+    def test_residual_check_on_true_solution(self):
+        """CG-solved synthetic Darcy fields must have a far smaller residual
+        error than random fields."""
+        from m_cedm_tpu.data.synthetic import generate_darcy_batch
+        import preprocess_darcy
+
+        a, u = generate_darcy_batch(jax.random.PRNGKey(0), 2, size=32,
+                                    cg_iters=600)
+        a, u = np.asarray(a), np.asarray(u)
+        good = preprocess_darcy.residual_check(a, u)
+        bad = preprocess_darcy.residual_check(
+            a, np.random.RandomState(0).rand(*u.shape).astype(np.float32))
+        assert good < bad / 10
