@@ -1,0 +1,133 @@
+"""Multi-device (8 virtual CPU) sharding tests + Trainer loop tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m_cedm_tpu.config import to_dotdict
+from m_cedm_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from m_cedm_tpu.tasks import FnoStateReconstrTask, McedmTask
+from tests.test_tasks import grid_batch, mcedm_hparams
+
+RES = 16
+B = 8
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_mesh_and_shardings(self):
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8
+        x = np.ones((8, 4, 4), np.float32)
+        placed = shard_batch((x,), mesh)[0]
+        assert placed.sharding == batch_sharding(mesh)
+        # non-divisible leading dims get replicated
+        y = np.ones((3,), np.float32)
+        placed_y = shard_batch((y,), mesh)[0]
+        assert placed_y.sharding == replicated(mesh)
+
+    def test_sharded_train_step_matches_single_device(self):
+        """The flagship train step must produce identical losses and params
+        whether the batch is sharded over 8 devices or run unsharded —
+        data-parallelism is numerically transparent."""
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        batch = tuple(np.asarray(a) for a in grid_batch(jax.random.PRNGKey(1)))
+        # batch of 4 -> pad to 8 for the 8-device mesh
+        batch = tuple(np.concatenate([a, a]) if a.ndim > 1 else a for a in batch)
+
+        key = jax.random.PRNGKey(2)
+        state_ref, metrics_ref = task.train_step(state, jax.device_put(batch), key)
+
+        mesh = make_mesh()
+        state_m = replicate(state, mesh)
+        batch_m = shard_batch(batch, mesh)
+        state_sh, metrics_sh = task.train_step(state_m, batch_m, key)
+
+        np.testing.assert_allclose(float(metrics_ref["train_loss"]),
+                                   float(metrics_sh["train_loss"]), rtol=1e-4)
+        p_ref = jax.tree_util.tree_leaves(state_ref.params)
+        p_sh = jax.tree_util.tree_leaves(state_sh.params)
+        for a, b in zip(p_ref, p_sh):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_sampling_sharded_over_batch(self):
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        mesh = make_mesh()
+        state_m = replicate(state, mesh)
+        cond = np.zeros((8, RES, RES, 2), np.float32)
+        mask = np.concatenate([np.zeros((8, RES, RES, 1)),
+                               np.ones((8, RES, RES, 1))], axis=-1).astype(np.float32)
+        cond_m, mask_m = shard_batch((cond, mask), mesh)
+        out = task.sample_edm(state_m, cond_m, mask_m, jax.random.PRNGKey(1))
+        assert out.shape == (8, 1, RES, RES, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestTrainerLoop:
+    @pytest.fixture()
+    def fno_setup(self, tmp_path):
+        from m_cedm_tpu.data.datamodule import HDF5Datamodule
+        from m_cedm_tpu.data.synthetic import write_swe_dataset
+
+        train = str(tmp_path / "train.h5")
+        test = str(tmp_path / "test.h5")
+        write_swe_dataset(train, jax.random.PRNGKey(0), 8, RES, RES)
+        write_swe_dataset(test, jax.random.PRNGKey(1), 4, RES, RES)
+        dm = HDF5Datamodule(train_path=train, val_path=test, test_path=test,
+                            batch_size=4, return_abs_coords=True,
+                            norm_x=True, norm_t=True)
+        hp = to_dotdict(dict(name="fno_state_reconstr_2d", modes_1=4, modes_2=4,
+                             width=8, num_layers=2, padding_t=2, padding_x=0,
+                             inst_norm=False, time_history=RES, time_future=0,
+                             input_size=1, state_size=1, norm_shape=[],
+                             factor=0.3, step_size=50, loss="l1", lr=1e-3,
+                             weight_decay=0))
+        task = FnoStateReconstrTask(hp)
+        task.set_pde_loss_function("swe_per", False)
+        return task, dm
+
+    def test_fit_and_test(self, fno_setup, tmp_path):
+        from m_cedm_tpu.train.loop import Trainer
+        from m_cedm_tpu.train.metrics import MetricsLogger
+
+        task, dm = fno_setup
+        out = str(tmp_path / "run")
+        trainer = Trainer(max_epochs=2, out_dir=out,
+                          logger=MetricsLogger(out), use_mesh=True,
+                          ckpt_monitor="val_mae_u")
+        state = trainer.fit(task, dm)
+        assert int(jax.device_get(state.step)) == 4  # 2 epochs x 2 batches
+        metrics = trainer.test(task, dm)
+        assert "test_mae_u" in metrics
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+        assert trainer.ckpt.latest_step() == 4
+
+    def test_resume_from_checkpoint(self, fno_setup, tmp_path):
+        from m_cedm_tpu.train.loop import Trainer
+        from m_cedm_tpu.train.metrics import MetricsLogger
+
+        task, dm = fno_setup
+        out = str(tmp_path / "run1")
+        t1 = Trainer(max_epochs=1, out_dir=out, logger=MetricsLogger(out))
+        state1 = t1.fit(task, dm)
+
+        out2 = str(tmp_path / "run2")
+        t2 = Trainer(max_epochs=2, out_dir=out2, logger=MetricsLogger(out2))
+        state2 = t2.fit(task, dm, ckpt_path=out)
+        # resumed at epoch 1, trained one more epoch
+        assert int(jax.device_get(state2.step)) == 4
