@@ -25,10 +25,15 @@ import jax.numpy as jnp
 
 from m_cedm_tpu.models.layers import (
     Conv2d,
+    GroupNormSiLU,
     Linear,
     adm_group_norm,
     fp32_softmax_attention,
 )
+
+
+def _adm_groups(c: int) -> int:
+    return min(32, c // 4)
 from m_cedm_tpu.ops.schedules import fourier_positional_embedding
 
 INIT = dict(init_mode="kaiming_uniform", init_weight=3 ** -0.5, init_bias=3 ** -0.5)
@@ -110,16 +115,17 @@ class UNetBlock(nn.Module):
         num_heads = c // self.channels_per_head if self.attention else 0
 
         orig = x
-        h = adm_group_norm(in_channels, eps=self.eps)(x)
-        h = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT, name="conv0")(nn.silu(h))
+        h = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps, name="norm0")(x)
+        h = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT, name="conv0")(h)
 
         params = Linear(c * (2 if self.adaptive_scale else 1), **INIT, name="affine")(emb)
-        params = params[:, None, None, :].astype(h.dtype)
         if self.adaptive_scale:
-            scale, shift = jnp.split(params, 2, axis=-1)
-            h = nn.silu(shift + adm_group_norm(c, eps=self.eps)(h) * (scale + 1))
+            scale, shift = jnp.split(params, 2, axis=-1)  # (B, C) each
+            h = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")(
+                h, film_scale=scale, film_shift=shift)
         else:
-            h = nn.silu(adm_group_norm(c, eps=self.eps)(h + params))
+            h = nn.silu(adm_group_norm(c, eps=self.eps)(
+                h + params[:, None, None, :].astype(h.dtype)))
 
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -250,5 +256,5 @@ class AdmUNet(nn.Module):
                               name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
         assert not skips
 
-        x = nn.silu(adm_group_norm(cout)(x))
+        x = GroupNormSiLU(_adm_groups(cout), name="out_norm")(x)
         return Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")(x)

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from m_cedm_tpu.models.layers import (
+    GroupNormSiLU,
     TorchConv2d,
     TorchLinear,
     ddpm_group_norm,
@@ -93,10 +94,10 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.silu(ddpm_group_norm(in_ch)(x))
+        h = GroupNormSiLU(32, eps=1e-6, name="norm1")(x)
         h = TorchConv2d(self.out_channels, kernel=3, name="conv1")(h)
         h = h + TorchLinear(self.out_channels, name="temb_proj")(nn.silu(temb))[:, None, None, :]
-        h = nn.silu(ddpm_group_norm(self.out_channels)(h))
+        h = GroupNormSiLU(32, eps=1e-6, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = TorchConv2d(self.out_channels, kernel=3, name="conv2")(h)
@@ -235,5 +236,5 @@ class DdpmUNet(nn.Module):
                 curr_res *= 2
         assert not hs
 
-        h = nn.silu(ddpm_group_norm(h.shape[-1])(h))
+        h = GroupNormSiLU(32, eps=1e-6, name="norm_out")(h)
         return TorchConv2d(cfg.out_ch, kernel=3, name="conv_out")(h)

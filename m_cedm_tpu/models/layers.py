@@ -209,6 +209,38 @@ def adm_group_norm(num_channels: int, eps: float = 1e-5,
     return nn.GroupNorm(num_groups=groups, epsilon=eps)
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm (+ optional per-sample FiLM modulation) fused with SiLU.
+
+    Computes silu(gn(x) * (1 + film_scale) + film_shift) — the hot pattern of
+    both U-Nets. On TPU this lowers to the fused Pallas kernel
+    (pallas/fused_norm.py): one HBM read + one write instead of separate
+    normalize / modulate / activate passes. Elsewhere the identical-math jnp
+    reference runs (and XLA fuses what it can).
+    """
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, film_scale=None, film_shift=None):
+        from m_cedm_tpu.pallas.fused_norm import fused_group_norm_silu
+
+        c = x.shape[-1]
+        b = x.shape[0]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        gamma = jnp.broadcast_to(scale[None].astype(jnp.float32), (b, c))
+        beta = jnp.broadcast_to(bias[None].astype(jnp.float32), (b, c))
+        if film_scale is not None:
+            # silu(shift + gn(x) * (scale + 1)) folds into gamma/beta
+            fs = film_scale.astype(jnp.float32) + 1.0
+            gamma = gamma * fs
+            beta = beta * fs + film_shift.astype(jnp.float32)
+        x2 = x.reshape(b, -1, c)
+        out = fused_group_norm_silu(x2, gamma, beta, self.num_groups, self.eps)
+        return out.reshape(x.shape).astype(x.dtype)
+
+
 def ddpm_group_norm(num_channels: int) -> nn.GroupNorm:
     """DDPM convention: 32 groups, eps 1e-6."""
     return nn.GroupNorm(num_groups=32, epsilon=1e-6)

@@ -87,6 +87,14 @@ def _sget(sparams, key, default=None):
     return getattr(sparams, key, default)
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves of a pytree (params) to a compute dtype."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree)
+
+
 class DiffusionTaskBase:
     """Shared machinery: backbone, transforms, optimizer, PDE loss, EMA."""
 
@@ -107,6 +115,12 @@ class DiffusionTaskBase:
         self.add_xt = m.get("add_xt", False)
         self.ema_enabled = m.get("ema", True)
         self.ema_rate = m.get("ema_rate", 0.999)
+        # mixed precision: fp32 master params/optimizer/EMA, compute in
+        # `dtype` (bfloat16 doubles MXU throughput on TPU; attention softmax
+        # and normalization statistics stay fp32 — layers.py / flax defaults)
+        dtype_name = m.get("dtype", "float32")
+        self.compute_dtype = (jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
+                              else None)
 
         self._adjust_cond_channels(hparams)
         self.model, self.model_cfg = build_backbone(hparams)
@@ -169,7 +183,26 @@ class DiffusionTaskBase:
         )
 
     def _sample_params(self, state: TrainState):
-        return state.ema_params if self.ema_enabled else state.params
+        params = state.ema_params if self.ema_enabled else state.params
+        # pre-cast once so the cast lives outside the sampler scan body
+        if self.compute_dtype is not None:
+            params = cast_floating(params, self.compute_dtype)
+        return params
+
+    def net_apply(self, params, x, t, cond=None, x_self_cond=None, dx=None):
+        """model.apply with activation casting to the compute dtype; output
+        is always fp32 (losses, preconditioning and sampler math stay fp32)."""
+        dt = self.compute_dtype
+        if dt is not None:
+            params = cast_floating(params, dt)  # no-op if pre-cast
+            x = x.astype(dt)
+            cond = None if cond is None else cond.astype(dt)
+            x_self_cond = (None if x_self_cond is None
+                           else x_self_cond.astype(dt))
+            dx = None if dx is None else dx.astype(dt)
+        out = self.model.apply(params, x, t, cond, x_self_cond=x_self_cond,
+                               dx=dx)
+        return out.astype(jnp.float32)
 
     def _finish_step(self, state, grads, loss_metrics):
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -258,8 +291,8 @@ class McedmTask(DiffusionTaskBase):
                       dx=None):
         sigma = jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1, 1)
         c_skip, c_out, c_in, c_noise = edm_precond_coeffs(sigma, SIGMA_DATA)
-        F_x = self.model.apply(params, c_in * x_noise, c_noise.reshape(-1),
-                               cond, x_self_cond=x_self_cond, dx=dx)
+        F_x = self.net_apply(params, c_in * x_noise, c_noise.reshape(-1),
+                             cond, x_self_cond=x_self_cond, dx=dx)
         return c_skip * x_noise + c_out * F_x
 
     # --- training -----------------------------------------------------------
@@ -446,8 +479,8 @@ class DdimTask(DiffusionTaskBase):
         x_noise = x * jnp.sqrt(abar) + noise * jnp.sqrt(1.0 - abar)
 
         def net(params, x_in, t_in, x_self_cond=None):
-            return self.model.apply(params, x_in, t_in.astype(jnp.float32),
-                                    None, x_self_cond=x_self_cond)
+            return self.net_apply(params, x_in, t_in.astype(jnp.float32),
+                                  None, x_self_cond=x_self_cond)
 
         def loss_fn(params):
             x_self_cond = None
@@ -485,10 +518,10 @@ class DdimTask(DiffusionTaskBase):
             del key
             t_b = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
             if w is None or abs(w) < 1e-3:
-                return self.model.apply(params, x, t_b, cond,
-                                        x_self_cond=x_self_cond)
-            e_c = self.model.apply(params, x, t_b, cond, x_self_cond=x_self_cond)
-            e_u = self.model.apply(params, x, t_b, None, x_self_cond=x_self_cond)
+                return self.net_apply(params, x, t_b, cond,
+                                      x_self_cond=x_self_cond)
+            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond)
+            e_u = self.net_apply(params, x, t_b, None, x_self_cond=x_self_cond)
             return (w + 1) * e_c - w * e_u
 
         return eps
@@ -505,7 +538,7 @@ class DdimTask(DiffusionTaskBase):
             idx = jnp.argmin(jnp.abs(steps - sigma))
             c_noise = (self.num_timesteps - 1 - idx).astype(jnp.float32)
             t_b = jnp.full((x.shape[0],), c_noise)
-            F_x = self.model.apply(params, c_in * x, t_b, None)
+            F_x = self.net_apply(params, c_in * x, t_b, None)
             return x - sigma * F_x
 
         return denoise
@@ -717,8 +750,8 @@ class CondDdimTask(DdimTask):
         u_noise = u * jnp.sqrt(abar) + noise * jnp.sqrt(1.0 - abar)
 
         def net(params, x_in, t_in, x_self_cond=None):
-            return self.model.apply(params, x_in, t_in.astype(jnp.float32),
-                                    cond_in, x_self_cond=x_self_cond)
+            return self.net_apply(params, x_in, t_in.astype(jnp.float32),
+                                  cond_in, x_self_cond=x_self_cond)
 
         def loss_fn(params):
             x_self_cond = None
@@ -784,10 +817,10 @@ class CondDdimTask(DdimTask):
             del key
             t_b = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
             if w is None or abs(w) < 1e-3:
-                return self.model.apply(params, x, t_b, cond,
-                                        x_self_cond=x_self_cond)
-            e_c = self.model.apply(params, x, t_b, cond, x_self_cond=x_self_cond)
-            e_u = self.model.apply(params, x, t_b, None, x_self_cond=x_self_cond)
+                return self.net_apply(params, x, t_b, cond,
+                                      x_self_cond=x_self_cond)
+            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond)
+            e_u = self.net_apply(params, x, t_b, None, x_self_cond=x_self_cond)
             return (w + 1) * e_c - w * e_u
 
         return eps
@@ -821,10 +854,10 @@ class CondDdimTask(DdimTask):
             t_b = jnp.full((x.shape[0],), c_noise)
             cond_in = cond * c_in if cat_condition else cond
             if w is None or abs(w) < 1e-3:
-                F_x = self.model.apply(params, c_in * x, t_b, cond_in)
+                F_x = self.net_apply(params, c_in * x, t_b, cond_in)
             else:
-                F_c = self.model.apply(params, c_in * x, t_b, cond_in)
-                F_u = self.model.apply(params, c_in * x, t_b, None)
+                F_c = self.net_apply(params, c_in * x, t_b, cond_in)
+                F_u = self.net_apply(params, c_in * x, t_b, None)
                 F_x = (w + 1) * F_c - w * F_u
             return x - sigma * F_x
 
@@ -936,8 +969,8 @@ class CondEdmTask(CondDdimTask):
                       dx=None):
         sigma = jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1, 1)
         c_skip, c_out, c_in, c_noise = edm_precond_coeffs(sigma, SIGMA_DATA)
-        F_x = self.model.apply(params, c_in * x_noise, c_noise.reshape(-1),
-                               cond, x_self_cond=x_self_cond, dx=dx)
+        F_x = self.net_apply(params, c_in * x_noise, c_noise.reshape(-1),
+                             cond, x_self_cond=x_self_cond, dx=dx)
         return c_skip * x_noise + c_out * F_x
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -1,0 +1,141 @@
+"""Fused GroupNorm+SiLU kernel: reference-math equality + gradient checks.
+
+On CPU the jnp fallback runs; the Pallas path itself is exercised on TPU
+(bench/verify drives). These tests pin the *math* — the kernel and fallback
+share formulas, and the custom VJP is validated against jax autodiff.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m_cedm_tpu.models.layers import GroupNormSiLU
+from m_cedm_tpu.pallas.fused_norm import (
+    fused_group_norm_silu,
+    group_norm_silu_reference,
+)
+
+B, N, C = 2, 64, 32
+G = 8
+
+
+class TestReferenceMath:
+    def test_matches_unfused_composition(self):
+        """reference == silu(flax GroupNorm(x) * (1+s) + t) with folded params."""
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+        gn = nn.GroupNorm(num_groups=G, epsilon=1e-5)
+        params = gn.init(jax.random.PRNGKey(0), x)
+        scale = jnp.asarray(rs.randn(B, C).astype(np.float32) * 0.1)
+        shift = jnp.asarray(rs.randn(B, C).astype(np.float32) * 0.1)
+
+        normed = gn.apply(params, x)
+        expected = jax.nn.silu(normed * (1 + scale[:, None]) + shift[:, None])
+
+        gamma = (1 + scale)  # flax scale=1, bias=0 at init
+        beta = shift
+        got = group_norm_silu_reference(x, gamma, beta, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+
+        def f_fused(x, g, b):
+            return jnp.sum(jnp.sin(fused_group_norm_silu(x, g, b, G)))
+
+        def f_ref(x, g, b):
+            return jnp.sum(jnp.sin(group_norm_silu_reference(x, g, b, G)))
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2))(x, gamma, beta)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-5)
+
+
+class TestGroupNormSiLUModule:
+    def test_module_plain(self):
+        m = GroupNormSiLU(G)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, C))
+        params = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(params, x)
+        assert out.shape == x.shape
+        # zero-mean unit-var per group before silu: output mean is silu-biased
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_module_film(self):
+        m = GroupNormSiLU(G)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, C))
+        fs = jax.random.normal(jax.random.PRNGKey(2), (B, C)) * 0.1
+        ft = jax.random.normal(jax.random.PRNGKey(3), (B, C)) * 0.1
+        params = m.init(jax.random.PRNGKey(1), x, fs, ft)
+        out = m.apply(params, x, fs, ft)
+        assert out.shape == x.shape
+
+    def test_bf16_input_returns_bf16(self):
+        m = GroupNormSiLU(G)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 8, C)).astype(jnp.bfloat16)
+        params = m.init(jax.random.PRNGKey(1), x)
+        out = m.apply(params, x)
+        assert out.dtype == jnp.bfloat16
+
+
+class TestKernelOnInterpreter:
+    def test_pallas_kernel_interpret_matches_reference(self):
+        """Force the Pallas path in interpret mode and compare vs reference."""
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            out, mean, rstd = fn._pallas_fwd(x, gamma, beta, G, 1e-5)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+        ref = group_norm_silu_reference(x, gamma, beta, G)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_pallas_bwd_interpret_matches_autodiff(self):
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+        g = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            out, mean, rstd = fn._pallas_fwd(x, gamma, beta, G, 1e-5)
+            dx, dgamma, dbeta = fn._pallas_bwd(x, gamma, beta, mean, rstd, g, G)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+
+        def ref(x, gm, bt):
+            return group_norm_silu_reference(x, gm, bt, G)
+
+        _, vjp = jax.vjp(ref, x, gamma, beta)
+        dx_r, dgamma_r, dbeta_r = vjp(g)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dgamma), np.asarray(dgamma_r),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dbeta), np.asarray(dbeta_r),
+                                   rtol=1e-3, atol=1e-4)
