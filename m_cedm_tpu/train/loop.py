@@ -52,7 +52,13 @@ class Trainer:
                  callbacks: Sequence = (), logger: Optional[MetricsLogger] = None,
                  out_dir: str = ".", seed: int = 0, use_mesh: bool = True,
                  ckpt_monitor: Optional[str] = None, ckpt_mode: str = "min",
-                 limit_train_batches: Optional[int] = None):
+                 limit_train_batches: Optional[int] = None,
+                 debug_nans: bool = False):
+        if debug_nans:
+            # dev-mode numeric sanitizer (SURVEY.md §5: the TPU-native
+            # equivalent of a race/NaN detector — deterministic PRNG threading
+            # makes data races structurally absent, NaNs are trapped here)
+            jax.config.update("jax_debug_nans", True)
         self.max_epochs = max_epochs
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.gradient_clip_val = gradient_clip_val
