@@ -150,7 +150,7 @@ def _heun_step(denoise_fn, guidance_fn, x_hat, t_hat, t_next, is_last, key,
     if update_mask is not None:
         upd2 = upd2 * update_mask
     x_next2 = x_hat + upd2
-    return jnp.where(is_last, x_next, x_next2)
+    return jnp.where(is_last, x_next, x_next2), denoised
 
 
 def heun_sample_masked(denoise_fn: Callable, key, known, mask,
@@ -176,8 +176,8 @@ def heun_sample_masked(denoise_fn: Callable, key, known, mask,
         churn = jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0))
         eps = jax.random.normal(k_churn, x_cur.shape, x_cur.dtype)
         x_hat = x_cur + churn * schedule.S_noise * eps * mask
-        x_next = _heun_step(denoise_fn, guidance_fn, x_hat, t_hat, t_next,
-                            is_last, k_heun, update_mask=mask)
+        x_next, _ = _heun_step(denoise_fn, guidance_fn, x_hat, t_hat, t_next,
+                               is_last, k_heun, update_mask=mask)
         return x_next, (None if return_last else x_next)
 
     x_final, xs = jax.lax.scan(body, x0, steps)
@@ -189,8 +189,15 @@ def heun_sample_masked(denoise_fn: Callable, key, known, mask,
 def heun_sample_cond(denoise_fn: Callable, key, shape,
                      schedule: EdmSchedule, guidance_fn=None,
                      return_last: bool = True, init_noise=None,
-                     guidance_div_t: bool = True):
-    """Plain conditional Heun loop (conditioning lives in denoise_fn)."""
+                     guidance_div_t: bool = True,
+                     self_condition: bool = False):
+    """Plain conditional Heun loop (conditioning lives in denoise_fn).
+
+    self_condition: thread the previous denoised estimate through the scan
+    carry and hand it to denoise_fn as `x_self_cond` (ddim.py:1573,1586,
+    1770-1773 — PlCondEdm's get_self_cond_edm). denoise_fn must then accept
+    (x, t, key, x_self_cond) and return the denoised estimate.
+    """
     k_init, k_loop = jax.random.split(key)
     noise = (jax.random.normal(k_init, shape, jnp.float32)
              if init_noise is None else init_noise)
@@ -202,17 +209,25 @@ def heun_sample_cond(denoise_fn: Callable, key, shape,
         jax.random.split(k_loop, schedule.num_steps),
     )
 
-    def body(x_cur, step):
+    def body(carry, step):
+        x_cur, x_sc = carry
         t_cur, t_hat, t_next, is_last, k = step
         k_churn, k_heun = jax.random.split(k)
         churn = jnp.sqrt(jnp.maximum(t_hat ** 2 - t_cur ** 2, 0.0))
         eps = jax.random.normal(k_churn, x_cur.shape, x_cur.dtype)
         x_hat = x_cur + churn * schedule.S_noise * eps
-        x_next = _heun_step(denoise_fn, guidance_fn, x_hat, t_hat, t_next,
-                            is_last, k_heun, guidance_div_t=guidance_div_t)
-        return x_next, (None if return_last else x_next)
+        if self_condition:
+            fn = lambda x, t, kk: denoise_fn(x, t, kk, x_sc)
+        else:
+            fn = denoise_fn
+        x_next, denoised = _heun_step(fn, guidance_fn, x_hat, t_hat, t_next,
+                                      is_last, k_heun,
+                                      guidance_div_t=guidance_div_t)
+        # next step's self-cond input: the Euler-step denoised estimate
+        new_sc = denoised if self_condition else x_sc
+        return (x_next, new_sc), (None if return_last else x_next)
 
-    x_final, xs = jax.lax.scan(body, x0, steps)
+    (x_final, _), xs = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), steps)
     if return_last:
         return x_final[:, None]
     return jnp.moveaxis(xs, 0, 1)
@@ -254,8 +269,8 @@ def heun_sample_repaint(denoise_fn: Callable, key, known, mask,
 
         def inner(carry, rk):
             x_hat_k, t_hat_k = carry
-            x_next = _heun_step(denoise_fn, guidance_fn, x_hat_k, t_hat_k,
-                                t_next, is_last, rk)
+            x_next, _ = _heun_step(denoise_fn, guidance_fn, x_hat_k, t_hat_k,
+                                   t_next, is_last, rk)
             # clamp the known part at the t_next noise level (DDPM alphas)
             known_t = jnp.sqrt(a_next) * known + jnp.sqrt(1.0 - a_next) * hu_noise
             x_next = known_t * mask + x_next * (1.0 - mask)

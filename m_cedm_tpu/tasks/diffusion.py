@@ -594,6 +594,73 @@ class DdimTask(DiffusionTaskBase):
             self_condition=self.self_condition, guidance_fn=guidance,
             return_last=return_last)
 
+    # --- best-of-N selection & rollout oracle ------------------------------
+
+    def _select_best_by_pde(self, state, samples, gt_unnorm, use_gt=True):
+        """Pick, per batch element, the sample with the smallest PDE residual
+        (reference get_best_by_pde_error, ddim.py:652-674): each sample is
+        min-max rescaled to the ground truth's range, then scored by the
+        residual against the gt (use_gt) or itself."""
+        from m_cedm_tpu.tasks.base import scale_back_min_max
+
+        gt_scaled, mn, mx = scale_each_min_max(gt_unnorm, return_min_max=True)
+
+        def score(sample):
+            s_scaled = scale_each_min_max(sample)
+            s_gt = scale_back_min_max(s_scaled, mn, mx)
+            target = gt_unnorm if use_gt else s_gt
+            m = self.pde_loss(s_gt, target, state.normalizer_input,
+                              state.normalizer_target, clamp_loss=False)
+            return jnp.mean(m.reshape(m.shape[0], -1), axis=1)  # (B,)
+
+        errs = jax.vmap(score)(samples)  # (S, B)
+        idx = jnp.argmin(errs, axis=0)   # (B,)
+        return jnp.take_along_axis(
+            samples, idx[None, :, None, None, None], axis=0)[0]
+
+    def unroll_metrics(self, state, samples, h_un, u_un, use_simulator=True):
+        """Simulator-rollout oracle (reference print_unroll_metrics,
+        ddim.py:1321-1376): unroll the physics from each prediction's initial
+        slice and compare against the gt rollout.
+
+        samples: (S, B, T, X, C) normalized predictions.
+        """
+        h_ch, u_ch = self.h_ch, self.u_ch
+        oracle = self.pde_loss_simulator if use_simulator else self.pde_loss
+        if not hasattr(oracle, "unroll_loss"):
+            oracle = self.pde_loss
+
+        def unroll_one(sample):
+            h_n, u_n = sample[..., :h_ch], sample[..., h_ch:h_ch + u_ch]
+            h_unn, u_unn = self.transform.inverse(state, h_n, u_n)
+            pred_un = jnp.concatenate([h_unn, u_unn], axis=-1)
+            err, rolled = oracle.unroll_loss(
+                pred_un, pred_un, state.normalizer_input,
+                state.normalizer_target, return_unroll=True)
+            return err, rolled
+
+        errs, rolled = [], []
+        for s in range(samples.shape[0]):  # simulator oracle is host-side
+            e, r = unroll_one(samples[s])
+            errs.append(e)
+            rolled.append(r)
+        err_h = jnp.mean(jnp.stack([jnp.sum(e[..., :h_ch]) for e in errs]))
+        err_u = jnp.mean(jnp.stack([jnp.sum(e[..., h_ch:]) for e in errs]))
+
+        gt_un = jnp.concatenate([h_un, u_un], axis=-1)
+        err_gt, rolled_gt = oracle.unroll_loss(
+            gt_un, gt_un, state.normalizer_input, state.normalizer_target,
+            return_unroll=True)
+        rolled_all = jnp.stack(rolled)
+        mae_h = jnp.mean(jnp.abs(rolled_all[..., :h_ch] - rolled_gt[..., :h_ch]))
+        mae_u = jnp.mean(jnp.abs(rolled_all[..., h_ch:] - rolled_gt[..., h_ch:]))
+        return {
+            "test_pde_unroll_error": err_u,
+            "test_pde_unroll_error_gt": jnp.sum(err_gt[..., h_ch:]),
+            "test_pde_unrolled_mae_h": mae_h,
+            "test_pde_unrolled_mae_u": mae_u,
+        }
+
     # --- evaluation -------------------------------------------------------------
 
     def eval_step(self, state, batch, key, split="val", n_samples=1):
@@ -624,7 +691,12 @@ class DdimTask(DiffusionTaskBase):
             return xs[:, -1]
 
         samples = jax.vmap(draw)(jax.random.split(key, n_samples))
-        hu_mean = jnp.mean(samples, axis=0)
+        if split == "test" and _sget(sp, "select_by_pde", False):
+            hu_mean = self._select_best_by_pde(
+                state, samples, jnp.concatenate([h_un, u_un], axis=-1),
+                use_gt=bool(_sget(sp, "use_gt_pde_select", True)))
+        else:
+            hu_mean = jnp.mean(samples, axis=0)
 
         h_last, u_last = hu_mean[..., :h_ch], hu_mean[..., h_ch:h_ch + u_ch]
         loss_h, loss_u = mae(h_last, h), mae(u_last, u)
@@ -904,7 +976,16 @@ class CondDdimTask(DdimTask):
             return xs[:, -1]
 
         samples = jax.vmap(draw)(jax.random.split(key, n_samples))
-        u_mean = jnp.mean(samples, axis=0)
+        if split == "test" and _sget(sp, "select_by_pde", False):
+            # score the joint [h | u_sample] field (ddim.py:1259-1273)
+            h_rep = jnp.broadcast_to(h[None], (n_samples,) + h.shape)
+            joint = jnp.concatenate([h_rep, samples], axis=-1)
+            best = self._select_best_by_pde(
+                state, joint, jnp.concatenate([h_un, u_un], axis=-1),
+                use_gt=bool(_sget(sp, "use_gt_pde_select", True)))
+            u_mean = best[..., h_ch:h_ch + u_ch]
+        else:
+            u_mean = jnp.mean(samples, axis=0)
 
         u_last = u_mean[..., :u_ch]
         loss_u = mae(u_last, u)
@@ -1021,15 +1102,17 @@ class CondEdmTask(CondDdimTask):
         return self._finish_step(state, grads, metrics)
 
     def _cond_denoise_fn(self, params, cond, w: float):
-        """True EDM preconditioning (no c_in cond scaling, no sigma table)."""
+        """True EDM preconditioning (no c_in cond scaling, no sigma table).
+        Accepts an optional self-conditioning input (ddim.py:1770-1773)."""
 
-        def denoise(x, sigma, key):
+        def denoise(x, sigma, key, x_sc=None):
             del key
             sig_b = sigma * jnp.ones((x.shape[0],))
             if w is None or abs(w) < 1e-3:
-                return self.model_precond(params, x, sig_b, cond)
-            d_c = self.model_precond(params, x, sig_b, cond)
-            d_u = self.model_precond(params, x, sig_b, None)
+                return self.model_precond(params, x, sig_b, cond,
+                                          x_self_cond=x_sc)
+            d_c = self.model_precond(params, x, sig_b, cond, x_self_cond=x_sc)
+            d_u = self.model_precond(params, x, sig_b, None, x_self_cond=x_sc)
             return (w + 1) * d_c - w * d_u
 
         return denoise
@@ -1050,7 +1133,8 @@ class CondEdmTask(CondDdimTask):
         shape = cond_in.shape[:3] + (self.u_ch,)
         return edm_samplers.heun_sample_cond(
             denoise, key, shape, schedule, guidance_fn=guidance,
-            return_last=return_last, guidance_div_t=True)
+            return_last=return_last, guidance_div_t=True,
+            self_condition=self.self_condition)
 
     def sample(self, *args, **kwargs):
         raise NotImplementedError(

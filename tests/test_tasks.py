@@ -265,3 +265,66 @@ class TestTrainingConvergence:
             state, _ = task.train_step(state, batch, jax.random.PRNGKey(i))
         after = probe_loss(state)
         assert after < before
+
+
+class TestSelectByPde:
+    def test_best_of_n_selection(self):
+        """select_by_pde must pick per-element the lowest-residual sample."""
+        task = DdimTask(ddim_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        task.set_test_sampler_params(dict(task.test_sparams,
+                                          select_by_pde=True,
+                                          use_gt_pde_select=True))
+        batch = rel_batch(jax.random.PRNGKey(1))
+        metrics, pred = task.eval_step(state, batch, jax.random.PRNGKey(3),
+                                       split="test", n_samples=3)
+        assert np.isfinite(float(metrics["test_mae_u"]))
+        assert pred.shape == (B, RES, RES, 2)
+
+    def test_selection_helper_prefers_physical(self):
+        """Given one physically-consistent candidate and one noise candidate,
+        the selector must choose the physical one."""
+        from m_cedm_tpu.physics import get_pde_loss_function
+        task = DdimTask(ddim_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        # build a physical trajectory with the FV solver
+        pde, _ = get_pde_loss_function("swe_per", False)
+        ic_h = 1.0 + 0.1 * jax.random.uniform(jax.random.PRNGKey(4), (B, 1, RES, 1))
+        ic = jnp.concatenate([ic_h, jnp.zeros_like(ic_h)], axis=-1)
+        good = pde.unroll_from_init(ic, RES - 1)  # (B, RES, RES, 2)
+        bad = good + jax.random.normal(jax.random.PRNGKey(5), good.shape) * 0.5
+        samples = jnp.stack([bad, good])  # (S=2, B, ...)
+        best = task._select_best_by_pde(state, samples, good, use_gt=True)
+        np.testing.assert_allclose(np.asarray(best), np.asarray(good), atol=1e-5)
+
+
+class TestUnrollMetrics:
+    def test_unroll_oracle(self):
+        task = DdimTask(ddim_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        h, _, _, u = rel_batch(jax.random.PRNGKey(1))
+        h = jnp.abs(h) + 1.0  # physical heights
+        gt = task.transform.forward(state, h, u)
+        samples = jnp.broadcast_to(gt[None], (2,) + gt.shape)
+        metrics = task.unroll_metrics(state, samples, h, u, use_simulator=False)
+        expected = {"test_pde_unroll_error", "test_pde_unroll_error_gt",
+                    "test_pde_unrolled_mae_h", "test_pde_unrolled_mae_u"}
+        assert set(metrics) == expected
+        # identical prediction and gt -> zero rollout MAE
+        assert float(metrics["test_pde_unrolled_mae_u"]) < 1e-5
+
+
+class TestCondEdmSelfCond:
+    def test_self_cond_edm_sampling(self):
+        hp = ddim_hparams(name="edm_cond_h", in_ch=1, out_ch=1, cond_ch=1,
+                          cat_cond=True, self_cond=True)
+        task = CondEdmTask(hp)
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        cond = jnp.zeros((B, RES, RES, 1))
+        out = task.sample_edm(state, cond, jax.random.PRNGKey(1))
+        assert out.shape == (B, 1, RES, RES, 1)
+        assert np.all(np.isfinite(np.asarray(out)))
