@@ -30,11 +30,11 @@ from m_cedm_tpu.models.layers import (
     adm_group_norm,
     fp32_softmax_attention,
 )
+from m_cedm_tpu.ops.schedules import fourier_positional_embedding
 
 
 def _adm_groups(c: int) -> int:
     return min(32, c // 4)
-from m_cedm_tpu.ops.schedules import fourier_positional_embedding
 
 INIT = dict(init_mode="kaiming_uniform", init_weight=3 ** -0.5, init_bias=3 ** -0.5)
 INIT_ZERO = dict(init_mode="kaiming_uniform", init_weight=0.0, init_bias=0.0)
@@ -58,6 +58,7 @@ class AdmUNetConfig:
     label_dim: int = 0
     augment_dim: int = 0
     label_dropout: float = 0.0
+    remat: bool = False  # jax.checkpoint each block: FLOPs for HBM headroom
 
     @staticmethod
     def from_hparams(hparams) -> "AdmUNetConfig":
@@ -83,6 +84,7 @@ class AdmUNetConfig:
             label_dim=get("label_dim", 0),
             augment_dim=get("augment_dim", 0),
             label_dropout=get("label_dropout", 0.0),
+            remat=get("remat", False),
         )
 
     @property
@@ -175,6 +177,10 @@ class AdmUNet(nn.Module):
         ch = cfg.ch
         emb_channels = ch
         block_kwargs = dict(channels_per_head=64, dropout=cfg.dropout)
+        # rematerialize each residual block under grad: activations are
+        # recomputed in backward instead of stored (bigger batches / res)
+        Block = (nn.remat(UNetBlock, static_argnums=(3,)) if cfg.remat
+                 else UNetBlock)
 
         # --- noise-level embedding ---------------------------------------
         emb = fourier_positional_embedding(noise_labels, ch)
@@ -226,12 +232,12 @@ class AdmUNet(nn.Module):
         for level, mult in enumerate(cfg.ch_mult):
             res = cfg.resolution >> level
             if level > 0:
-                x = UNetBlock(cout, down=True, **block_kwargs,
+                x = Block(cout, down=True, **block_kwargs,
                               name=f"enc_{res}x{res}_down")(x, emb, deterministic)
                 skips.append(x)
             for idx in range(cfg.num_res_blocks):
                 cout = ch * mult
-                x = UNetBlock(cout, attention=(res in cfg.attn_resolutions),
+                x = Block(cout, attention=(res in cfg.attn_resolutions),
                               **block_kwargs,
                               name=f"enc_{res}x{res}_block{idx}")(x, emb, deterministic)
                 skips.append(x)
@@ -240,18 +246,18 @@ class AdmUNet(nn.Module):
         for level, mult in reversed(list(enumerate(cfg.ch_mult))):
             res = cfg.resolution >> level
             if level == len(cfg.ch_mult) - 1:
-                x = UNetBlock(cout, attention=True, **block_kwargs,
+                x = Block(cout, attention=True, **block_kwargs,
                               name=f"dec_{res}x{res}_in0")(x, emb, deterministic)
-                x = UNetBlock(cout, **block_kwargs,
+                x = Block(cout, **block_kwargs,
                               name=f"dec_{res}x{res}_in1")(x, emb, deterministic)
             else:
-                x = UNetBlock(cout, up=True, **block_kwargs,
+                x = Block(cout, up=True, **block_kwargs,
                               name=f"dec_{res}x{res}_up")(x, emb, deterministic)
             for idx in range(cfg.num_res_blocks + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 cout = ch * mult
-                x = UNetBlock(cout, attention=(res in cfg.attn_resolutions),
+                x = Block(cout, attention=(res in cfg.attn_resolutions),
                               **block_kwargs,
                               name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
         assert not skips

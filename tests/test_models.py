@@ -215,3 +215,25 @@ class TestBuildBackbone:
         hp["model"]["resamp_with_conv"] = True
         model, cfg = build_backbone(hp)
         assert isinstance(model, DdpmUNet)
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        """Rematerialized blocks must produce identical values and grads."""
+        cfg_plain = adm_cfg()
+        cfg_remat = adm_cfg(remat=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, RES, RES, 2))
+        noise = jnp.full((2,), 0.7)
+        m1, m2 = AdmUNet(cfg_plain), AdmUNet(cfg_remat)
+        params = m1.init(jax.random.PRNGKey(1), x, noise)
+
+        def loss(m):
+            return lambda p: jnp.mean(m.apply(p, x, noise) ** 2)
+
+        v1, g1 = jax.value_and_grad(loss(m1))(params)
+        v2, g2 = jax.value_and_grad(loss(m2))(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
