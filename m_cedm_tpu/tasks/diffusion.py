@@ -228,6 +228,43 @@ class DiffusionTaskBase:
         return self.pde_loss(x_unnorm, gt, state.normalizer_input,
                              state.normalizer_target, clamp_loss=clamp_loss)
 
+    def _normalize_dx(self, dx1):
+        """Post-process the raw PDE gradient per dx_norm (mcedm.py:527-554):
+        'prob' raw; 'gauss' clamp +-0.01 then standardize over (H, W);
+        'min_max' clamp then rescale to [-1, 1]; 'clamp' +-5; default
+        l2-normalize over (H, W). NaN gradients become zeros (the reference
+        skips dx entirely on NaN; zeros are the channel-concat equivalent)."""
+        b, hh, ww, c = dx1.shape
+        mode = self.dx_norm
+        if mode == "prob":
+            dx = dx1
+        elif mode == "gauss":
+            d = jnp.clip(dx1, -0.01, 0.01).reshape(b, hh * ww, c)
+            mean = jnp.mean(d, axis=1, keepdims=True)
+            std = jnp.std(d, axis=1, keepdims=True, ddof=1)
+            dx = ((d - mean) / (std + 1e-6)).reshape(b, hh, ww, c)
+        elif mode == "min_max":
+            d = jnp.clip(dx1, -0.01, 0.01).reshape(b, hh * ww, c)
+            mn = jnp.min(d, axis=1, keepdims=True)
+            mx = jnp.max(d, axis=1, keepdims=True)
+            dx = (2 * (d - mn) / (mx - mn + 1e-6) - 1.0).reshape(b, hh, ww, c)
+        elif mode == "clamp":
+            dx = jnp.clip(dx1, -5.0, 5.0)
+        else:  # l2
+            d = dx1.reshape(b, hh * ww, c)
+            norm = jnp.linalg.norm(d, axis=1, keepdims=True)
+            dx = (d / jnp.maximum(norm, 1e-12)).reshape(b, hh, ww, c)
+        return jnp.nan_to_num(dx)
+
+    def get_dx_input(self, state, x_denoised):
+        """PDE-gradient conditioning channels for the joint field
+        (mcedm.py:519-557). Returns zeros-shaped dx when dx_cond is off."""
+        if not self.dx_cond:
+            return None
+        guidance = self._pde_guidance_joint(state,
+                                            calc_prob=(self.dx_norm == "prob"))
+        return self._normalize_dx(guidance(x_denoised))
+
     def _pde_guidance_joint(self, state, calc_prob=True):
         """d/dx of the PDE (log-prob) residual for a joint normalized field."""
 
@@ -319,8 +356,18 @@ class McedmTask(DiffusionTaskBase):
         weight = edm_loss_weight(sigma, SIGMA_DATA)
         x_noise = x + mask * noise * sigma
 
+        dx = None
+        if self.dx_cond:
+            # dx conditioning switched off with probability 0.1 (mcedm.py:221)
+            k_gate = jax.random.fold_in(rng, 101)
+            dx_val = self.get_dx_input(state, x_noise)
+            if self.hparams["model"].get("dx_detach", False):
+                dx_val = jax.lax.stop_gradient(dx_val)
+            gate = (jax.random.uniform(k_gate) > 0.1).astype(dx_val.dtype)
+            dx = dx_val * gate
+
         def loss_fn(params):
-            D_x = self.model_precond(params, x_noise, sigma, cond_in)
+            D_x = self.model_precond(params, x_noise, sigma, cond_in, dx=dx)
             return losses.noise_estimation_loss(D_x * mask, x * mask, weight)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -328,14 +375,16 @@ class McedmTask(DiffusionTaskBase):
 
     # --- sampling -----------------------------------------------------------
 
-    def _make_denoise_fn(self, params, cond, w: float):
+    def _make_denoise_fn(self, params, cond, w: float, state=None):
         def denoise(x, t_hat, key):
             del key
+            dx = (self.get_dx_input(state, x)
+                  if (self.dx_cond and state is not None) else None)
+            sig = t_hat * jnp.ones((x.shape[0],))
             if w is None or abs(w) < 1e-3 or cond is None:
-                return self.model_precond(params, x, t_hat * jnp.ones((x.shape[0],)),
-                                          cond)
-            d_c = self.model_precond(params, x, t_hat * jnp.ones((x.shape[0],)), cond)
-            d_u = self.model_precond(params, x, t_hat * jnp.ones((x.shape[0],)), None)
+                return self.model_precond(params, x, sig, cond, dx=dx)
+            d_c = self.model_precond(params, x, sig, cond, dx=dx)
+            d_u = self.model_precond(params, x, sig, None)
             return (w + 1) * d_c - w * d_u
 
         return denoise
@@ -354,7 +403,8 @@ class McedmTask(DiffusionTaskBase):
             S_max=float(_sget(sp, "S_max", "inf")),
             S_noise=_sget(sp, "S_noise", 1.0))
         params = self._sample_params(state)
-        denoise = self._make_denoise_fn(params, cond, _sget(sp, "w", 0.0))
+        denoise = self._make_denoise_fn(params, cond, _sget(sp, "w", 0.0),
+                                        state=state)
         guidance = self._pde_guidance_joint(state) if guide_dx else None
         known = cond[..., : self.h_ch + self.u_ch]
         return edm_samplers.heun_sample_masked(

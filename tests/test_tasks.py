@@ -328,3 +328,77 @@ class TestCondEdmSelfCond:
         out = task.sample_edm(state, cond, jax.random.PRNGKey(1))
         assert out.shape == (B, 1, RES, RES, 1)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestDxConditioning:
+    def _task(self, dx_norm="l2"):
+        hp = mcedm_hparams()
+        hp["model"]["dx_cond"] = True
+        hp["model"]["cat_dx"] = True
+        hp["model"]["dx_norm"] = dx_norm
+        task = McedmTask(hp)
+        task.set_pde_loss_function("swe_per", False)
+        return task
+
+    @pytest.mark.parametrize("dx_norm", ["l2", "gauss", "min_max", "clamp",
+                                         "prob"])
+    def test_dx_norm_variants(self, dx_norm):
+        task = self._task(dx_norm)
+        state = task.init_state(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, RES, RES, 2))
+        dx = task.get_dx_input(state, x)
+        assert dx.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(dx)))
+        if dx_norm == "l2":
+            norms = np.linalg.norm(np.asarray(dx).reshape(2, -1, 2), axis=1)
+            np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        if dx_norm == "clamp":
+            assert np.abs(np.asarray(dx)).max() <= 5.0
+
+    def test_train_and_sample_with_dx(self):
+        task = self._task()
+        state = task.init_state(jax.random.PRNGKey(0))
+        batch = grid_batch(jax.random.PRNGKey(1))
+        state2, metrics = task.train_step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["train_loss"]))
+        mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
+                                jnp.ones((B, RES, RES, 1))], axis=-1)
+        cond = jnp.zeros((B, RES, RES, 2))
+        out = task.sample_edm(state, cond, mask, jax.random.PRNGKey(3))
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestF64Parity:
+    def test_f32_sampler_close_to_f64(self):
+        """SURVEY hard part: the reference runs the Heun loop in float64; our
+        f32 loop must track a numpy-float64 run of the same deterministic
+        schedule (S_churn=0 so the only randomness is the shared x0)."""
+        from m_cedm_tpu.samplers.edm import heun_sample_masked, make_edm_schedule
+
+        target = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 2)))
+        mask = np.zeros((2, 8, 8, 2), np.float32)
+        mask[..., 1] = 1.0
+        sched = make_edm_schedule(18, 0.002, 80.0, S_churn=0.0)
+
+        oracle = lambda x, t, key: jnp.broadcast_to(jnp.asarray(target), x.shape)
+        o32 = np.asarray(heun_sample_masked(
+            oracle, jax.random.PRNGKey(1), jnp.asarray(target),
+            jnp.asarray(mask), sched))[:, -1]
+
+        # reproduce the same x0 (same PRNG path as heun_sample_masked)
+        k_init, _ = jax.random.split(jax.random.PRNGKey(1))
+        noise = np.asarray(jax.random.normal(k_init, target.shape), np.float64)
+        x = noise * np.float64(sched.t_cur[0])
+        x = target * (1 - mask) + x * mask
+        t_steps = np.concatenate([sched.t_cur.astype(np.float64),
+                                  [0.0]])
+        for i in range(len(t_steps) - 1):
+            t_hat, t_next = t_steps[i], t_steps[i + 1]
+            d_cur = (x - target) / t_hat
+            x_next = x + (t_next - t_hat) * d_cur * mask
+            if i < len(t_steps) - 2:
+                d_prime = (x_next - target) / t_next
+                x_next = x + (t_next - t_hat) * 0.5 * (d_cur + d_prime) * mask
+            x = x_next
+        assert np.abs(o32 - x).max() < 1e-3
