@@ -238,7 +238,20 @@ def main():
     p.add_argument("--n-test", type=int, default=16)
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", default=None,
+                   help="configs/generate/*.yaml dataset spec (overrides "
+                        "--system/--res/--n-train/--n-test)")
     args = p.parse_args()
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            gen_cfg = yaml.safe_load(f)
+        args.system = gen_cfg.get("system", args.system)
+        args.res = gen_cfg.get("xdim", args.res)
+        args.n_train = gen_cfg.get("n_train", args.n_train)
+        args.n_test = gen_cfg.get("n_test", args.n_test)
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_test = jax.random.split(key)

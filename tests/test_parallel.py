@@ -131,3 +131,45 @@ class TestTrainerLoop:
         state2 = t2.fit(task, dm, ckpt_path=out)
         # resumed at epoch 1, trained one more epoch
         assert int(jax.device_get(state2.step)) == 4
+
+
+class TestMcedmCheckpointRoundtrip:
+    def test_full_state_roundtrip(self, tmp_path):
+        """Checkpoint carries params + EMA + optimizer + normalizers + step
+        (the reference's Lightning checkpoints carry the same:
+        configs/callbacks + register_buffer normalizers)."""
+        from m_cedm_tpu.tasks import McedmTask
+        from m_cedm_tpu.train.checkpoint import CheckpointManager
+        from tests.test_tasks import grid_batch, mcedm_hparams
+
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        stats = {"input_mean": 1.5, "input_std": 0.9, "target_mean": 0.0,
+                 "target_std": 0.11, "input_min": 0.0, "input_min_max": 1.0,
+                 "target_min": 0.0, "target_min_max": 1.0}
+        state = task.init_state(jax.random.PRNGKey(0), stats)
+        batch = grid_batch(jax.random.PRNGKey(1))
+        for i in range(2):
+            state, _ = task.train_step(state, batch, jax.random.PRNGKey(i))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), state)
+        mgr.close()
+
+        # restore into a fresh skeleton
+        mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+        fresh = task.init_state(jax.random.PRNGKey(42))
+        restored = mgr2.restore(fresh)
+        mgr2.close()
+        assert int(restored.step) == 2
+        np.testing.assert_allclose(
+            float(restored.normalizer_input.subtract), 1.5)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(restored.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # training continues from the restored state
+        state3, m = task.train_step(restored, batch, jax.random.PRNGKey(9))
+        assert np.isfinite(float(m["train_loss"]))
