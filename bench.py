@@ -57,7 +57,56 @@ def flagship_hparams():
     })
 
 
+def measure(task, state, batch, roundtrip_s):
+    """(train_step_ms, samples_per_sec) for one task configuration."""
+    h, grid_t, grid_x, u = batch
+    state, m = task.train_step(state, batch, jax.random.PRNGKey(2))
+    float(m["train_loss"])
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, metrics = task.train_step(state, batch, jax.random.PRNGKey(3 + i))
+        float(metrics["train_loss"])
+    train_step_ms = max(
+        ((time.perf_counter() - t0) / n_iter - roundtrip_s) * 1000, 1e-3)
+
+    mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
+                            jnp.ones((B, RES, RES, 1))], axis=-1)
+    gt = task.transform.forward(state, h, u)
+    cond = task.get_cond_in(gt, mask, grid_t, grid_x, jax.random.PRNGKey(4))
+    sample_fn = jax.jit(
+        lambda s, c, m_, k: jnp.sum(task.sample_edm(s, c, m_, k)))
+    float(sample_fn(state, cond, mask, jax.random.PRNGKey(5)))
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        float(sample_fn(state, cond, mask, jax.random.PRNGKey(6 + i)))
+    sample_time = (time.perf_counter() - t0) / n_rep - roundtrip_s
+    return train_step_ms, B / sample_time
+
+
+def _probe_pallas():
+    """Try the fused kernel once on the real device; disable it (jnp
+    fallback, identical math) if this backend's Mosaic rejects it."""
+    from m_cedm_tpu.pallas.fused_norm import fused_group_norm_silu, pallas_enabled
+
+    if not pallas_enabled():
+        return
+    try:
+        x = jnp.ones((2, 64, 64))
+        g = jnp.ones((2, 64))
+        b = jnp.zeros((2, 64))
+        float(jnp.sum(fused_group_norm_silu(x, g, b, 16)))
+    except Exception as e:  # pragma: no cover - device-specific
+        os.environ["MCEDM_PALLAS"] = "0"
+        import sys
+
+        print(f"# pallas kernel disabled on this backend: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+
+
 def main():
+    _probe_pallas()
     task = McedmTask(flagship_hparams())
     task.set_pde_loss_function("swe_per", False)
     state = task.init_state(jax.random.PRNGKey(0))
@@ -80,33 +129,16 @@ def main():
         float(tiny(jax.random.PRNGKey(i)))
     roundtrip_s = (time.perf_counter() - t0) / 20
 
-    # --- train step ---------------------------------------------------------
-    state, m = task.train_step(state, batch, jax.random.PRNGKey(2))  # compile
-    float(m["train_loss"])
-    n_iter = 20
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        state, metrics = task.train_step(state, batch, jax.random.PRNGKey(3 + i))
-        float(metrics["train_loss"])
-    train_step_ms = max(
-        ((time.perf_counter() - t0) / n_iter - roundtrip_s) * 1000, 1e-3)
+    batch = (h, grid, jnp.transpose(grid, (0, 2, 1, 3)), u)
+    train_step_ms, samples_per_sec = measure(task, state, batch, roundtrip_s)
 
-    # --- Heun EDM sampling --------------------------------------------------
-    mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
-                            jnp.ones((B, RES, RES, 1))], axis=-1)
-    gt = task.transform.forward(state, h, u)
-    cond = task.get_cond_in(gt, mask, grid, jnp.transpose(grid, (0, 2, 1, 3)),
-                            jax.random.PRNGKey(4))
-
-    sample_fn = jax.jit(
-        lambda s, c, m_, k: jnp.sum(task.sample_edm(s, c, m_, k)))
-    float(sample_fn(state, cond, mask, jax.random.PRNGKey(5)))  # compile
-    n_rep = 5
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        float(sample_fn(state, cond, mask, jax.random.PRNGKey(6 + i)))
-    sample_time = (time.perf_counter() - t0) / n_rep - roundtrip_s
-    samples_per_sec = B / sample_time
+    # bfloat16 production mode (fp32 master params; see tasks/diffusion.py)
+    hp16 = flagship_hparams()
+    hp16["model"]["dtype"] = "bfloat16"
+    task16 = McedmTask(hp16)
+    task16.set_pde_loss_function("swe_per", False)
+    train_step_ms_bf16, samples_per_sec_bf16 = measure(task16, state, batch,
+                                                       roundtrip_s)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -129,6 +161,8 @@ def main():
         "vs_baseline": round(vs, 3),
         "train_step_ms": round(train_step_ms, 3),
         "train_step_ms_baseline": baseline.get("train_step_ms"),
+        "bf16_samples_per_sec": round(samples_per_sec_bf16, 3),
+        "bf16_train_step_ms": round(train_step_ms_bf16, 3),
         "batch": B, "resolution": RES, "heun_steps": 50,
         "device": str(jax.devices()[0]),
     }))

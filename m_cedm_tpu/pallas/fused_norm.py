@@ -46,7 +46,13 @@ def pallas_enabled() -> bool:
         return False
     if flag == "1":
         return True
-    return _PALLAS_IMPORTED and jax.default_backend() in ("tpu", "axon")
+    if not _PALLAS_IMPORTED:
+        return False
+    try:
+        backend = jax.devices()[0].platform
+    except Exception:
+        backend = jax.default_backend()
+    return backend in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------
@@ -70,22 +76,34 @@ def group_norm_silu_reference(x, gamma, beta, num_groups: int,
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _group_combine(vec_c, num_groups):
+def _group_matrix(num_groups: int, c: int) -> np.ndarray:
+    """(C, C) constant that averages channels within their group: row i has
+    1/(C/G) on every column of i's group. vec @ A == per-group means
+    broadcast back to channels — a single small MXU matmul, which Mosaic
+    lowers cleanly (reshape-based grouping is not supported in kernels)."""
+    per = c // num_groups
+    a = np.zeros((c, c), np.float32)
+    for g in range(num_groups):
+        a[g * per:(g + 1) * per, g * per:(g + 1) * per] = 1.0 / per
+    return a
+
+
+def _group_combine(vec_c, group_mat):
     """Average a (1, C) per-channel vector within each group -> (1, C)."""
-    c = vec_c.shape[-1]
-    per_group = vec_c.reshape(num_groups, c // num_groups)
-    group_mean = jnp.mean(per_group, axis=1, keepdims=True)
-    return jnp.broadcast_to(group_mean, per_group.shape).reshape(1, c)
+    return jax.lax.dot_general(
+        vec_c, group_mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(x_ref, gamma_ref, beta_ref, out_ref, mean_ref, rstd_ref,
-                *, num_groups: int, eps: float):
+def _fwd_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, out_ref, mean_ref,
+                rstd_ref, *, eps: float):
     x = x_ref[0].astype(jnp.float32)  # block (1, N, C) -> (N, C)
+    gmat = gmat_ref[:]
     n = x.shape[0]
     sum_c = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
     sumsq_c = jnp.sum(x * x, axis=0, keepdims=True)    # (1, C)
-    mean = _group_combine(sum_c / n, num_groups)
-    ex2 = _group_combine(sumsq_c / n, num_groups)
+    mean = _group_combine(sum_c / n, gmat)
+    ex2 = _group_combine(sumsq_c / n, gmat)
     var = ex2 - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (x - mean) * rstd
@@ -97,8 +115,9 @@ def _fwd_kernel(x_ref, gamma_ref, beta_ref, out_ref, mean_ref, rstd_ref,
 
 
 def _bwd_kernel(x_ref, gamma_ref, beta_ref, mean_ref, rstd_ref, g_ref,
-                dx_ref, dgamma_ref, dbeta_ref, *, num_groups: int):
+                gmat_ref, dx_ref, dgamma_ref, dbeta_ref):
     x = x_ref[0].astype(jnp.float32)
+    gmat = gmat_ref[:]
     gamma = gamma_ref[:]
     mean = mean_ref[:]
     rstd = rstd_ref[:]
@@ -116,16 +135,16 @@ def _bwd_kernel(x_ref, gamma_ref, beta_ref, mean_ref, rstd_ref, g_ref,
 
     dxhat = dy * gamma
     # group means of dxhat and dxhat*xhat
-    m1 = _group_combine(jnp.sum(dxhat, axis=0, keepdims=True) / n, num_groups)
-    m2 = _group_combine(jnp.sum(dxhat * xhat, axis=0, keepdims=True) / n,
-                        num_groups)
+    m1 = _group_combine(jnp.sum(dxhat, axis=0, keepdims=True) / n, gmat)
+    m2 = _group_combine(jnp.sum(dxhat * xhat, axis=0, keepdims=True) / n, gmat)
     dx = rstd * (dxhat - m1 - xhat * m2)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _pallas_fwd(x, gamma, beta, num_groups, eps):
     b, n, c = x.shape
-    kernel = functools.partial(_fwd_kernel, num_groups=num_groups, eps=eps)
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    kernel = functools.partial(_fwd_kernel, eps=eps)
     out, mean, rstd = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -134,6 +153,7 @@ def _pallas_fwd(x, gamma, beta, num_groups, eps):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
@@ -146,13 +166,14 @@ def _pallas_fwd(x, gamma, beta, num_groups, eps):
             jax.ShapeDtypeStruct((b, c), jnp.float32),
             jax.ShapeDtypeStruct((b, c), jnp.float32),
         ],
-    )(x, gamma, beta)
+    )(x, gamma, beta, gmat)
     return out, mean, rstd
 
 
 def _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups):
     b, n, c = x.shape
-    kernel = functools.partial(_bwd_kernel, num_groups=num_groups)
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    kernel = _bwd_kernel
     dx, dgamma, dbeta = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -165,6 +186,7 @@ def _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups):
             pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
@@ -177,7 +199,7 @@ def _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups):
             jax.ShapeDtypeStruct((b, c), jnp.float32),
             jax.ShapeDtypeStruct((b, c), jnp.float32),
         ],
-    )(x, gamma, beta, mean, rstd, g)
+    )(x, gamma, beta, mean, rstd, g, gmat)
     return dx, dgamma, dbeta
 
 
