@@ -96,7 +96,131 @@ def roe_flux(ql, qr, g=G_DEFAULT, efix: bool = True):
     return 0.5 * (fl + fr) - 0.5 * jnp.stack([diss_h, diss_hu], axis=-1)
 
 
-FLUXES = {"hll": hll_flux, "roe": roe_flux}
+def fwave_flux(ql, qr, g=G_DEFAULT):
+    """f-wave formulation: decompose the flux difference (not the state
+    difference) onto the Roe eigenvectors — well-balanced for source terms
+    (the reference ships shallow_fwave_1d as a PyClaw alternate)."""
+    hl, hul = ql[..., 0], ql[..., 1]
+    hr, hur = qr[..., 0], qr[..., 1]
+    ul = hul / (hl + EPS)
+    ur = hur / (hr + EPS)
+    sqhl = jnp.sqrt(jnp.maximum(hl, 0.0))
+    sqhr = jnp.sqrt(jnp.maximum(hr, 0.0))
+    u_hat = (sqhl * ul + sqhr * ur) / (sqhl + sqhr + EPS)
+    c_hat = jnp.sqrt(g * 0.5 * (hl + hr))
+    s1 = u_hat - c_hat
+    s2 = u_hat + c_hat
+
+    df = swe_flux(qr, g) - swe_flux(ql, g)
+    df1, df2 = df[..., 0], df[..., 1]
+    # project flux difference onto r1=(1, s1), r2=(1, s2)
+    beta1 = (s2 * df1 - df2) / (s2 - s1 + EPS)
+    beta2 = (df2 - s1 * df1) / (s2 - s1 + EPS)
+
+    # F_interface = F(ql) + sum of left-going f-waves
+    z1_h = jnp.where(s1 < 0, beta1, 0.0)
+    z1_hu = jnp.where(s1 < 0, beta1 * s1, 0.0)
+    z2_h = jnp.where(s2 < 0, beta2, 0.0)
+    z2_hu = jnp.where(s2 < 0, beta2 * s2, 0.0)
+    fl = swe_flux(ql, g)
+    return fl + jnp.stack([z1_h + z2_h, z1_hu + z2_hu], axis=-1)
+
+
+def _star_height(hl, ul, hr, ur, g=G_DEFAULT, iters: int = 20):
+    """Exact Riemann star-region depth via Newton iteration (two-rarefaction
+    initial guess; Toro's depth function phi)."""
+    cl = jnp.sqrt(g * jnp.maximum(hl, EPS))
+    cr = jnp.sqrt(g * jnp.maximum(hr, EPS))
+    # two-rarefaction approximation as the initial guess
+    h0 = ((0.5 * (cl + cr) + 0.25 * (ul - ur)) ** 2) / g
+    h0 = jnp.maximum(h0, EPS)
+
+    def phi_k(h, hk, ck):
+        # rarefaction branch: 2(sqrt(gh) - ck); shock branch uses the jump
+        rare = 2.0 * (jnp.sqrt(g * h) - ck)
+        shock = (h - hk) * jnp.sqrt(0.5 * g * (h + hk) / (h * hk + EPS))
+        return jnp.where(h <= hk, rare, shock)
+
+    def dphi_k(h, hk, ck):
+        rare = jnp.sqrt(g / jnp.maximum(h, EPS))
+        gk = jnp.sqrt(0.5 * g * (h + hk) / (h * hk + EPS))
+        shock = gk - 0.25 * g * (h - hk) * (h + 2 * hk) / (
+            gk * (h * hk + EPS) * (h + hk) * h + EPS)
+        return jnp.where(h <= hk, rare, shock)
+
+    def body(_, h):
+        f = phi_k(h, hl, cl) + phi_k(h, hr, cr) + ur - ul
+        df = dphi_k(h, hl, cl) + dphi_k(h, hr, cr)
+        return jnp.maximum(h - f / (df + EPS), EPS)
+
+    return jax.lax.fori_loop(0, iters, body, h0)
+
+
+def exact_flux(ql, qr, g=G_DEFAULT):
+    """Godunov flux from the exact Riemann solution sampled at x/t = 0
+    (the reference ships a scipy-newton shallow_exact_1D; here Newton runs
+    as a fixed-iteration lax.fori_loop, fully on device)."""
+    hl, hul = ql[..., 0], ql[..., 1]
+    hr, hur = qr[..., 0], qr[..., 1]
+    ul = hul / (hl + EPS)
+    ur = hur / (hr + EPS)
+    cl = jnp.sqrt(g * jnp.maximum(hl, EPS))
+    cr = jnp.sqrt(g * jnp.maximum(hr, EPS))
+
+    h_star = _star_height(hl, ul, hr, ur, g)
+    c_star = jnp.sqrt(g * h_star)
+
+    # u* from the depth functions (symmetric form)
+    def phi(h, hk, ck):
+        rare = 2.0 * (jnp.sqrt(g * h) - ck)
+        shock = (h - hk) * jnp.sqrt(0.5 * g * (h + hk) / (h * hk + EPS))
+        return jnp.where(h <= hk, rare, shock)
+
+    u_star = 0.5 * (ul + ur) + 0.5 * (phi(h_star, hr, cr) - phi(h_star, hl, cl))
+
+    # sample the solution at xi = 0 (Toro ch. 5 sampling logic)
+    # left wave
+    sl_shock = ul - cl * jnp.sqrt(0.5 * (h_star + hl) * h_star / (hl * hl + EPS))
+    head_l = ul - cl
+    tail_l = u_star - c_star
+    left_is_shock = h_star > hl
+    # right wave
+    sr_shock = ur + cr * jnp.sqrt(0.5 * (h_star + hr) * h_star / (hr * hr + EPS))
+    head_r = ur + cr
+    tail_r = u_star + c_star
+    right_is_shock = h_star > hr
+
+    # in-fan state for a transonic left rarefaction
+    h_fan_l = ((ul + 2.0 * cl) ** 2) / (9.0 * g)
+    u_fan_l = (ul + 2.0 * cl) / 3.0
+    h_fan_r = ((-ur + 2.0 * cr) ** 2) / (9.0 * g)
+    u_fan_r = (ur - 2.0 * cr) / 3.0 * -1.0
+
+    def pick(h, u):
+        return jnp.stack([h, h * u], axis=-1)
+
+    # decide the state at xi=0
+    left_of_contact = u_star >= 0
+
+    # left side resolution
+    state_l = jnp.where(
+        left_is_shock[..., None],
+        jnp.where(sl_shock[..., None] >= 0, pick(hl, ul), pick(h_star, u_star)),
+        jnp.where(head_l[..., None] >= 0, pick(hl, ul),
+                  jnp.where(tail_l[..., None] <= 0, pick(h_star, u_star),
+                            pick(h_fan_l, u_fan_l))))
+    state_r = jnp.where(
+        right_is_shock[..., None],
+        jnp.where(sr_shock[..., None] <= 0, pick(hr, ur), pick(h_star, u_star)),
+        jnp.where(head_r[..., None] <= 0, pick(hr, ur),
+                  jnp.where(tail_r[..., None] >= 0, pick(h_star, u_star),
+                            pick(h_fan_r, u_fan_r))))
+    q0 = jnp.where(left_of_contact[..., None], state_l, state_r)
+    return swe_flux(q0, g)
+
+
+FLUXES = {"hll": hll_flux, "roe": roe_flux, "fwave": fwave_flux,
+          "exact": exact_flux}
 
 
 def godunov_step(q, dt, dx, g=G_DEFAULT, flux: str = "hll",

@@ -563,14 +563,17 @@ class DdimTask(DiffusionTaskBase):
 
     # --- samplers --------------------------------------------------------------
 
-    def _eps_fn(self, params, w: float, cond=None):
+    def _eps_fn(self, params, w: float, cond=None, state=None):
         def eps(x, t, x_self_cond, key):
             del key
+            dx = (self.get_dx_input(state, x)
+                  if (self.dx_cond and state is not None) else None)
             t_b = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
             if w is None or abs(w) < 1e-3:
                 return self.net_apply(params, x, t_b, cond,
-                                      x_self_cond=x_self_cond)
-            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond)
+                                      x_self_cond=x_self_cond, dx=dx)
+            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond,
+                                 dx=dx)
             e_u = self.net_apply(params, x, t_b, None, x_self_cond=x_self_cond)
             return (w + 1) * e_c - w * e_u
 
@@ -634,7 +637,7 @@ class DdimTask(DiffusionTaskBase):
             self.alphas_cumprod, _sget(sp, "timesteps", 50),
             _sget(sp, "skip_type", "uniform"), _sget(sp, "eta", 0.0))
         params = self._sample_params(state)
-        eps = self._eps_fn(params, _sget(sp, "w", 0.0))
+        eps = self._eps_fn(params, _sget(sp, "w", 0.0), state=state)
         guidance = self._pde_guidance_joint(state) if guide_dx else None
         mask = self._time_mask(hu.shape, _sget(sp, "n_time_h", 128),
                                _sget(sp, "n_time_u", 0))

@@ -93,6 +93,11 @@ def main(argv=None) -> float:
         callbacks=callbacks, logger=logger, out_dir=out_dir, seed=seed,
         ckpt_monitor=ckpt_monitor, ckpt_mode=ckpt_mode)
 
+    # trainer precision 'bf16'/'bfloat16' selects the mixed-precision
+    # compute path (fp32 master params; tasks/diffusion.py)
+    if str(trainer_kw.get("precision", "32")) in ("bf16", "bfloat16"):
+        cfg.model.hparams.model["dtype"] = "bfloat16"
+
     task = instantiate(cfg.model,
                        grad_clip=trainer_kw.get("gradient_clip_val"))
 

@@ -186,3 +186,42 @@ class TestDarcyPreprocess:
         bad = preprocess_darcy.residual_check(
             a, np.random.RandomState(0).rand(*u.shape).astype(np.float32))
         assert good < bad / 10
+
+
+class TestFullSolverZoo:
+    """fwave and exact solvers (the reference's remaining alternates)."""
+
+    @pytest.mark.parametrize("flux_name", ["hll", "roe", "fwave", "exact"])
+    def test_consistency(self, flux_name):
+        from m_cedm_tpu.physics.riemann import FLUXES, swe_flux
+
+        fl = FLUXES[flux_name]
+        for q in (jnp.array([[1.5, 0.3]]), jnp.array([[2.0, -1.0]])):
+            np.testing.assert_allclose(np.asarray(fl(q, q)),
+                                       np.asarray(swe_flux(q)),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_solvers_agree_on_dam_break(self):
+        """All four solvers must converge to the same dam-break profile
+        (Stoker problem hl=2, hr=1, g=1)."""
+        x = jnp.linspace(-2.5, 2.5, 256)
+        h0 = jnp.where(x < 0, 2.0, 1.0)
+        q0 = jnp.stack([h0, jnp.zeros_like(h0)], axis=-1)
+        finals = {}
+        for flux in ("hll", "roe", "fwave", "exact"):
+            traj = integrate(q0, 0.005, 5 / 256, 60, substeps=4, flux=flux)
+            finals[flux] = np.asarray(conservative_to_primitive(traj))[-1]
+        for flux in ("roe", "fwave", "exact"):
+            np.testing.assert_allclose(finals[flux], finals["hll"], atol=0.02)
+        # the Stoker solution's maximal velocity for this setup is ~0.418
+        assert finals["exact"][:, 1].max() == pytest.approx(0.418, abs=0.01)
+
+    def test_exact_star_height(self):
+        """Exact star region for the symmetric colliding problem: two equal
+        streams meeting head-on double the depth via the shock relations."""
+        from m_cedm_tpu.physics.riemann import _star_height
+
+        h_star = _star_height(jnp.array([1.0]), jnp.array([0.5]),
+                              jnp.array([1.0]), jnp.array([-0.5]))
+        # symmetric collision: u* = 0, h* > 1 from the shock jump
+        assert float(h_star[0]) > 1.3
