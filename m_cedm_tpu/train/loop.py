@@ -149,6 +149,7 @@ class Trainer:
     def test(self, task, datamodule, state=None, verbose: bool = True):
         state = state if state is not None else self.state
         assert state is not None, "call fit() first or pass a state"
+        state = replicate(state, self.mesh)  # e.g. freshly-restored checkpoints
         key = jax.random.PRNGKey(self.seed + 12345)
         task.down_factor = (datamodule.down_factor
                             if getattr(datamodule, "down_interp", True) else 1)
