@@ -31,15 +31,16 @@ class CheckpointManager:
         self.best_step: Optional[int] = None
         if is_main_process():
             os.makedirs(self.ckpt_dir, exist_ok=True)
+        # async: the save overlaps the next training epoch (orbax waits
+        # internally before starting a newer save); readers wait explicitly
         self._mgr = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max(save_top_k + 1, 2), create=True,
-                enable_async_checkpointing=False))
+                enable_async_checkpointing=True))
 
     def save(self, step: int, state, metrics: Optional[dict] = None):
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
         if self.monitor and metrics and self.monitor in metrics:
             value = float(metrics[self.monitor])
             better = (self.best_value is None
@@ -50,10 +51,12 @@ class CheckpointManager:
                 self.best_step = step
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, target, step: Optional[int] = None):
         """Restore into the structure of `target` (an initialized TrainState)."""
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None

@@ -42,11 +42,15 @@ class MetricsLogger:
             os.makedirs(out_dir, exist_ok=True)
 
     def accumulate(self, metrics: Dict):
+        """Store raw (possibly device-resident) scalars; host materialization
+        is deferred to flush_epoch so the train loop never blocks per step —
+        on tunneled backends a per-step float() costs a ~30 ms round-trip."""
         for k, v in metrics.items():
-            self._epoch_acc[k].append(float(v))
+            self._epoch_acc[k].append(v)
 
     def flush_epoch(self, epoch: int, extra: Optional[Dict] = None) -> Dict[str, float]:
-        means = {k: float(np.mean(v)) for k, v in self._epoch_acc.items()}
+        means = {k: float(np.mean([float(v) for v in vals]))
+                 for k, vals in self._epoch_acc.items()}
         self._epoch_acc.clear()
         if extra:
             means.update({k: float(v) for k, v in extra.items()})
