@@ -402,3 +402,48 @@ class TestF64Parity:
                 x_next = x + (t_next - t_hat) * 0.5 * (d_cur + d_prime) * mask
             x = x_next
         assert np.abs(o32 - x).max() < 1e-3
+
+
+class TestGuidedSampling:
+    def test_mcedm_guide_dx(self):
+        """PDE log-prob guidance inside the Heun scan (guide_dx=True)."""
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        task.set_test_sampler_params(dict(task.test_sparams, guide_dx=True,
+                                          timesteps=4))
+        state = task.init_state(jax.random.PRNGKey(0))
+        batch = grid_batch(jax.random.PRNGKey(1))
+        mask = jnp.concatenate([jnp.zeros((RES, RES, 1)),
+                                jnp.ones((RES, RES, 1))], axis=-1)
+        metrics, pred = task.eval_step(state, batch, jax.random.PRNGKey(2),
+                                       mask, split="val", n_samples=1,
+                                       mask_name="u")
+        assert np.all(np.isfinite(np.asarray(pred)))
+        assert np.isfinite(float(metrics["val_mae_u"]))
+
+    def test_ddim_guided_repaint(self):
+        task = DdimTask(ddim_hparams(sampler_type="ddim"))
+        task.set_pde_loss_function("swe_per", False)
+        task.set_test_sparams = task.set_test_sampler_params
+        task.set_test_sampler_params(dict(task.test_sparams, type="ddim",
+                                          guide_dx=True, timesteps=4,
+                                          skip_type="uniform", eta=0.0,
+                                          n_repeat=2))
+        state = task.init_state(jax.random.PRNGKey(0))
+        batch = rel_batch(jax.random.PRNGKey(1))
+        metrics, pred = task.eval_step(state, batch, jax.random.PRNGKey(2),
+                                       split="val", n_samples=1)
+        assert np.all(np.isfinite(np.asarray(pred)))
+
+    def test_cfg_blend_w(self):
+        """Classifier-free guidance blending (w != 0) runs both branches."""
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        task.set_test_sampler_params(dict(task.test_sparams, w=0.5,
+                                          timesteps=4))
+        state = task.init_state(jax.random.PRNGKey(0))
+        mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
+                                jnp.ones((B, RES, RES, 1))], axis=-1)
+        cond = jnp.zeros((B, RES, RES, 2))
+        out = task.sample_edm(state, cond, mask, jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(out)))
