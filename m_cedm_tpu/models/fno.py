@@ -20,7 +20,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

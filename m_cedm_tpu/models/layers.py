@@ -19,7 +19,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ All fields are NHWC-style (B, T, X, C) with C = (h, u).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

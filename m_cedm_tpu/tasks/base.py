@@ -16,7 +16,7 @@ Parity anchors:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.struct
 import jax

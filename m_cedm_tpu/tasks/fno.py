@@ -16,7 +16,7 @@ epochs, gamma=factor) is an optax schedule parameterized by steps_per_epoch.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ receives zero gradient (stop_gradient) and is excluded from weight decay.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

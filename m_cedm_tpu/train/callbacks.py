@@ -14,7 +14,7 @@ the host — never inside jit.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

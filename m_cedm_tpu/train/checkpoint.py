@@ -10,10 +10,8 @@ register_buffer + Lightning state dicts).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from m_cedm_tpu.utils import get_logger, is_main_process

@@ -18,7 +18,7 @@ Parity anchors:
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np
