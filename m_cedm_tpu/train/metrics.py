@@ -70,6 +70,21 @@ class MetricsLogger:
             if self._wandb is not None:
                 self._wandb.config.update(cfg, allow_val_change=True)
 
+    def save_artifact(self, path: str, tag: str = "latest",
+                      name: str = "model"):
+        """Attach a checkpoint directory/file to the wandb run (reference
+        logger_utils.save_wandb_artifact, :31-38). No-op without wandb."""
+        if self._wandb is None or not is_main_process():
+            return
+        import wandb
+
+        artifact = wandb.Artifact(name, type="model")
+        if os.path.isdir(path):
+            artifact.add_dir(path)
+        else:
+            artifact.add_file(path)
+        self._wandb.log_artifact(artifact, aliases=[tag])
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()
