@@ -251,13 +251,13 @@ def fp32_softmax_attention(q, k, v):
     activation dtype (ADM forces fp32 here for numeric safety; on TPU the MXU
     accumulates fp32 natively, we additionally keep the softmax in fp32).
 
+    Routes to the fused Pallas attention kernel on TPU (pallas/
+    fused_attention.py: whole-head-batch in VMEM, recompute-based backward);
+    identical-math jnp elsewhere.
+
     q, k, v: (N, L, D) with N = batch*heads, L tokens, D channels per head.
     Returns (N, L, D).
     """
-    dtype = q.dtype
-    scale = 1.0 / math.sqrt(k.shape[-1])
-    logits = jnp.einsum("nqd,nkd->nqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32) * scale)
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("nqk,nkd->nqd", w, v.astype(jnp.float32))
-    return out.astype(dtype)
+    from m_cedm_tpu.pallas.fused_attention import fused_attention
+
+    return fused_attention(q, k, v)

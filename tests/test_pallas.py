@@ -139,3 +139,65 @@ class TestKernelOnInterpreter:
                                    rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(dbeta), np.asarray(dbeta_r),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestFusedAttention:
+    def _qkv(self):
+        rs = np.random.RandomState(5)
+        shape = (3, 32, 16)
+        return tuple(jnp.asarray(rs.randn(*shape).astype(np.float32))
+                     for _ in range(3))
+
+    def test_reference_matches_layers_math(self):
+        from m_cedm_tpu.pallas.fused_attention import attention_reference
+        import torch
+
+        q, k, v = self._qkv()
+        scale = 1 / np.sqrt(16)
+        qt, kt, vt = (torch.tensor(np.asarray(a)) for a in (q, k, v))
+        w = torch.softmax(torch.einsum("nqd,nkd->nqk", qt, kt * scale), dim=-1)
+        ref = torch.einsum("nqk,nkd->nqd", w, vt).numpy()
+        got = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        from m_cedm_tpu.pallas.fused_attention import (attention_reference,
+                                                       fused_attention)
+
+        q, k, v = self._qkv()
+
+        def f(fn):
+            return lambda *args: jnp.sum(jnp.tanh(fn(*args)))
+
+        g1 = jax.grad(f(fused_attention), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f(attention_reference), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_pallas_kernels_interpret(self):
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_attention as fa
+
+        q, k, v = self._qkv()
+        g = jnp.asarray(np.random.RandomState(6).randn(3, 32, 16).astype(np.float32))
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+            fa.pl.pallas_call = pl.pallas_call
+            out = fa._pallas_fwd(q, k, v)
+            dq, dk, dv = fa._pallas_bwd(q, k, v, g)
+        finally:
+            pl.pallas_call = orig
+            fa.pl.pallas_call = orig
+        ref = fa.attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        _, vjp = jax.vjp(fa.attention_reference, q, k, v)
+        rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=1e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=1e-3,
+                                   atol=1e-4)
