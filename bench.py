@@ -97,6 +97,9 @@ def _probe_pallas():
         g = jnp.ones((2, 64))
         b = jnp.zeros((2, 64))
         float(jnp.sum(fused_group_norm_silu(x, g, b, 16)))
+        from m_cedm_tpu.pallas.fused_attention import fused_attention
+
+        float(jnp.sum(fused_attention(x, x, x)))
     except Exception as e:  # pragma: no cover - device-specific
         os.environ["MCEDM_PALLAS"] = "0"
         import sys
