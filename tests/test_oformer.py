@@ -278,3 +278,43 @@ class TestOformerTimePredTask:
         assert np.isfinite(float(metrics["train_loss"]))
         metrics, pred = task.eval_step(state, batch, split="test")
         assert "test_pde_loss" in metrics
+
+
+class TestOformerStateTimePred:
+    def test_two_stage_compose(self):
+        from m_cedm_tpu.tasks.oformer import OformerStateTimePredTask
+
+        hp_state = oformer_hparams()
+        hp_time = oformer_hparams()
+        hp_time["encoder"]["input_channels"] = 4
+        hp_time["decoder"]["out_channels"] = 2
+        hp = to_dotdict({"hparams_state": hp_state, "hparams_time": hp_time,
+                         "time_history": T // 2, "norm_shape": []})
+        task = OformerStateTimePredTask(hp)
+        task.set_pde_loss_function("swe_per", False)
+
+        stats = {"input_mean": 0.5, "input_std": 1.0, "target_mean": 0.0,
+                 "target_std": 1.0, "norm_input": True, "norm_target": True,
+                 "input_min": 0.0, "input_min_max": 1.0, "target_min": 0.0,
+                 "target_min_max": 1.0}
+        s_rec = task.model_state.init_state(jax.random.PRNGKey(0), stats)
+        s_time = task.model_time.init_state(jax.random.PRNGKey(1), stats)
+
+        # reconstruction batch over the full grid
+        rec = token_batch()
+        # time-pred batch over the future half
+        rs = np.random.RandomState(0)
+        half = T // 2 * X
+        timepred = (
+            jnp.asarray(rs.randn(B, 1, half, 4).astype(np.float32)),
+            jnp.asarray(rs.randn(B, 1, half, 2).astype(np.float32)),
+            jnp.zeros((B, half, 1), jnp.int32),
+            jnp.zeros((B, half, 1), jnp.int32),
+            jnp.zeros((B, half, 2)),
+            jnp.zeros((B, half, 2)),
+            jnp.full((B,), T // 2, jnp.int32),
+        )
+        metrics, pred = task.test_step(s_rec, s_time, rec, timepred)
+        assert set(metrics) == {"test_mae_un_rec", "test_mae_un_pred",
+                                "test_mae_un"}
+        assert all(np.isfinite(float(v)) for v in metrics.values())
