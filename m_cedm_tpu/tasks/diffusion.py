@@ -629,6 +629,23 @@ class DdimTask(DiffusionTaskBase):
             n_repeat=_sget(sp, "n_repeat", 1), guidance_fn=guidance,
             return_last=return_last)
 
+    def sample(self, state, h, key, sparams=None, guide_dx=False,
+               return_last=True):
+        """Joint-model DDIM where the h channel rides the known field's noisy
+        trajectory and u is denoised (PlDdim.sample, ddim.py:706-806).
+        h: clean normalized (B, T, X, h_ch)."""
+        sp = sparams or self.test_sparams
+        schedule = ddim_samplers.make_ddim_schedule(
+            self.alphas_cumprod, _sget(sp, "timesteps", 50),
+            _sget(sp, "skip_type", "uniform"), _sget(sp, "eta", 0.0))
+        params = self._sample_params(state)
+        eps = self._eps_fn(params, _sget(sp, "w", 0.0), state=state)
+        guidance = self._pde_guidance_joint(state) if guide_dx else None
+        return ddim_samplers.ddim_sample_joint_h(
+            eps, key, h, schedule, h_ch=self.h_ch,
+            self_condition=self.self_condition, guidance_fn=guidance,
+            return_last=return_last)
+
     def sample_with_repeat(self, state, hu, key, sparams=None, guide_dx=False,
                            return_last=True):
         """RePaint DDIM sampling (ddim.py:808-913)."""
