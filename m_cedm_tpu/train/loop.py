@@ -53,7 +53,13 @@ class Trainer:
                  out_dir: str = ".", seed: int = 0, use_mesh: bool = True,
                  ckpt_monitor: Optional[str] = None, ckpt_mode: str = "min",
                  limit_train_batches: Optional[int] = None,
-                 debug_nans: bool = False):
+                 debug_nans: bool = False,
+                 profile_dir: Optional[str] = None,
+                 profile_epochs: int = 1):
+        # capture a device trace of the first profile_epochs epochs
+        # (TensorBoard/XProf-compatible; train/profiler.py)
+        self.profile_dir = profile_dir
+        self.profile_epochs = profile_epochs
         if debug_nans:
             # dev-mode numeric sanitizer (SURVEY.md §5: the TPU-native
             # equivalent of a race/NaN detector — deterministic PRNG threading
@@ -112,7 +118,15 @@ class Trainer:
 
         val_every = getattr(task, "val_every", None) or self.check_val_every_n_epoch
 
+        profiling = False
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+            profiling = True
+
         for epoch in range(start_epoch, self.max_epochs):
+            if profiling and epoch - start_epoch >= self.profile_epochs:
+                jax.profiler.stop_trace()
+                profiling = False
             self.current_epoch = epoch
             t0 = time.time()
             n_batches = 0
@@ -140,6 +154,9 @@ class Trainer:
                 log.info(f"epoch {epoch}: {msg} "
                          f"({epoch_metrics.get('epoch_time_s', 0):.1f}s)")
             self.ckpt.save(int(jax.device_get(state.step)), state, epoch_metrics)
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         self.state = state
         return state

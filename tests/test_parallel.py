@@ -173,3 +173,20 @@ class TestMcedmCheckpointRoundtrip:
         # training continues from the restored state
         state3, m = task.train_step(restored, batch, jax.random.PRNGKey(9))
         assert np.isfinite(float(m["train_loss"]))
+
+
+class TestProfiler:
+    def test_step_timer_and_trace(self, tmp_path):
+        from m_cedm_tpu.train.profiler import StepTimer, trace
+        import jax.numpy as jnp
+
+        timer = StepTimer()
+        f = jax.jit(lambda k: jnp.sum(jax.random.normal(k, (64, 64))))
+        dt = timer.time(lambda: f(jax.random.PRNGKey(0)), n=3)
+        assert dt >= 0
+        assert "mean_s" in timer.summary()
+
+        out = str(tmp_path / "trace")
+        with trace(out):
+            float(f(jax.random.PRNGKey(1)))
+        assert os.path.exists(out)
