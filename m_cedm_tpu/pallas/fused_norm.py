@@ -1,25 +1,33 @@
-"""Fused GroupNorm (+ per-sample FiLM modulation) + SiLU as a Pallas kernel.
+"""Fused GroupNorm (+ per-sample FiLM modulation) + SiLU as Pallas kernels.
 
 The U-Net hot path repeats the pattern
 
     y = silu(group_norm(x) * gamma_eff + beta_eff)        (+ conv)
 
 (adm_blocks.py:161,166 / ddim_blocks.py:147-153 in the reference; the ADM
-adaptive scale-shift folds into per-sample gamma_eff/beta_eff). Unfused,
-XLA materializes the normalized tensor and the activation separately; this
-kernel does one HBM read and one HBM write per sample:
+adaptive scale-shift folds into per-sample gamma_eff/beta_eff).
 
-  grid = (B,); block = the whole (H*W, C) sample in VMEM (res 128, ch 64
-  fp32 = 4 MB < 16 MB VMEM). Per block: one pass computes sum / sum-of-
-  squares per channel (sublane reduction), group statistics are combined on
-  the (1, C) vector, then normalize+modulate+SiLU on the VPU.
+TPU kernel structure (res 128: each sample is 16384 x 64 fp32 = 4 MB, so a
+whole sample plus temporaries exceeds the 16 MB scoped-VMEM budget — the
+work is tiled over rows with the sequential-grid accumulation pattern):
 
-A custom VJP implements the standard GroupNorm backward fused with the SiLU
-derivative — also one read of (x, g) per sample.
+  forward:  stats kernel   grid (B, T): per-tile channel sum / sum-of-squares
+                           accumulated into (B, C) outputs (out block index
+                           is constant over T, initialized at t == 0)
+            apply kernel   grid (B, T): group statistics from the sums via a
+                           constant (C, C) group-averaging matmul, then
+                           normalize + FiLM + SiLU on the VPU per tile
+  backward: grad-stats     grid (B, T): accumulate dgamma, dbeta and the two
+                           group reduction terms (recomputing xhat per tile)
+            grad-apply     grid (B, T): dx per tile
 
-`pallas_enabled()` gates use: real kernel on TPU backends, pure-jnp
-fallback elsewhere (identical math; used for CPU tests and as the always-
-correct reference).
+Per-sample vectors ((B, C) with C = 64 lanes) ride as whole-array blocks and
+each program addresses its row — TPU tiling rejects (1, C<128) blocks.
+Group averaging is a small constant matmul (Mosaic rejects reshape-based
+grouping).
+
+`pallas_enabled()` gates use: real kernels on TPU, pure-jnp fallback with
+identical math elsewhere (and whenever the row count does not tile evenly).
 """
 from __future__ import annotations
 
@@ -38,6 +46,8 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
+MAX_TILE_ROWS = 2048  # 2048 x 64 fp32 = 512 KB per buffer
+
 
 def pallas_enabled() -> bool:
     flag = os.environ.get("MCEDM_PALLAS", "auto")
@@ -52,6 +62,11 @@ def pallas_enabled() -> bool:
     except Exception:
         backend = jax.default_backend()
     return backend in ("tpu", "axon")
+
+
+def _tile_rows(n: int):
+    tile = min(n, MAX_TILE_ROWS)
+    return tile if n % tile == 0 else None
 
 
 # ---------------------------------------------------------------------------
@@ -72,14 +87,11 @@ def group_norm_silu_reference(x, gamma, beta, num_groups: int,
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernels
+# Kernel building blocks
 # ---------------------------------------------------------------------------
 
 def _group_matrix(num_groups: int, c: int) -> np.ndarray:
-    """(C, C) constant that averages channels within their group: row i has
-    1/(C/G) on every column of i's group. vec @ A == per-group means
-    broadcast back to channels — a single small MXU matmul, which Mosaic
-    lowers cleanly (reshape-based grouping is not supported in kernels)."""
+    """(C, C) constant averaging channels within their group (vec @ A)."""
     per = c // num_groups
     a = np.zeros((c, c), np.float32)
     for g in range(num_groups):
@@ -87,118 +99,149 @@ def _group_matrix(num_groups: int, c: int) -> np.ndarray:
     return a
 
 
-def _group_combine(vec_c, group_mat):
-    """Average a (1, C) per-channel vector within each group -> (1, C)."""
-    return jax.lax.dot_general(
-        vec_c, group_mat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+def _gc(vec, gmat):
+    return jax.lax.dot_general(vec, gmat, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(x_ref, gamma_ref, beta_ref, gmat_ref, out_ref, mean_ref,
-                rstd_ref, *, eps: float):
-    x = x_ref[0].astype(jnp.float32)  # block (1, N, C) -> (N, C)
-    gmat = gmat_ref[:]
-    n = x.shape[0]
-    sum_c = jnp.sum(x, axis=0, keepdims=True)          # (1, C)
-    sumsq_c = jnp.sum(x * x, axis=0, keepdims=True)    # (1, C)
-    mean = _group_combine(sum_c / n, gmat)
-    ex2 = _group_combine(sumsq_c / n, gmat)
-    var = ex2 - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x - mean) * rstd
-    y = xhat * gamma_ref[:] + beta_ref[:]
-    out = y * jax.nn.sigmoid(y)
-    out_ref[0] = out.astype(out_ref.dtype)
-    mean_ref[:] = mean
-    rstd_ref[:] = rstd
+def _mean_rstd(sums, sumsq, gmat, n, eps):
+    mean = _gc(sums / n, gmat)
+    ex2 = _gc(sumsq / n, gmat)
+    return mean, jax.lax.rsqrt(ex2 - mean * mean + eps)
 
 
-def _bwd_kernel(x_ref, gamma_ref, beta_ref, mean_ref, rstd_ref, g_ref,
-                gmat_ref, dx_ref, dgamma_ref, dbeta_ref):
+def _stats_kernel(x_ref, sums_ref, sumsq_ref):
+    b, t = pl.program_id(0), pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # (tile, C)
+
+    @pl.when(t == 0)
+    def _():
+        sums_ref[pl.ds(b, 1), :] = jnp.zeros_like(sums_ref[pl.ds(b, 1), :])
+        sumsq_ref[pl.ds(b, 1), :] = jnp.zeros_like(sumsq_ref[pl.ds(b, 1), :])
+
+    sums_ref[pl.ds(b, 1), :] += jnp.sum(x, axis=0, keepdims=True)
+    sumsq_ref[pl.ds(b, 1), :] += jnp.sum(x * x, axis=0, keepdims=True)
+
+
+def _apply_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref,
+                  out_ref, *, n: int, eps: float):
+    b = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)
-    gmat = gmat_ref[:]
-    gamma = gamma_ref[:]
-    mean = mean_ref[:]
-    rstd = rstd_ref[:]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    y = (x - mean) * rstd * gamma_ref[pl.ds(b, 1), :] + beta_ref[pl.ds(b, 1), :]
+    out_ref[0] = (y * jax.nn.sigmoid(y)).astype(out_ref.dtype)
+
+
+def _grad_stats_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
+                       gmat_ref, g_ref, dgamma_ref, dbeta_ref, s1_ref, s2_ref,
+                       *, n: int, eps: float):
+    b, t = pl.program_id(0), pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
-    n = x.shape[0]
-
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = gamma_ref[pl.ds(b, 1), :]
     xhat = (x - mean) * rstd
-    y = xhat * gamma + beta_ref[:]
+    y = xhat * gamma + beta_ref[pl.ds(b, 1), :]
     sig = jax.nn.sigmoid(y)
-    # d silu(y)/dy = sig * (1 + y * (1 - sig))
     dy = g * sig * (1.0 + y * (1.0 - sig))
-
-    dgamma_ref[:] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dbeta_ref[:] = jnp.sum(dy, axis=0, keepdims=True)
-
     dxhat = dy * gamma
-    # group means of dxhat and dxhat*xhat
-    m1 = _group_combine(jnp.sum(dxhat, axis=0, keepdims=True) / n, gmat)
-    m2 = _group_combine(jnp.sum(dxhat * xhat, axis=0, keepdims=True) / n, gmat)
-    dx = rstd * (dxhat - m1 - xhat * m2)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(t == 0)
+    def _():
+        dgamma_ref[pl.ds(b, 1), :] = jnp.zeros_like(dgamma_ref[pl.ds(b, 1), :])
+        dbeta_ref[pl.ds(b, 1), :] = jnp.zeros_like(dbeta_ref[pl.ds(b, 1), :])
+        s1_ref[pl.ds(b, 1), :] = jnp.zeros_like(s1_ref[pl.ds(b, 1), :])
+        s2_ref[pl.ds(b, 1), :] = jnp.zeros_like(s2_ref[pl.ds(b, 1), :])
+
+    dgamma_ref[pl.ds(b, 1), :] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta_ref[pl.ds(b, 1), :] += jnp.sum(dy, axis=0, keepdims=True)
+    s1_ref[pl.ds(b, 1), :] += jnp.sum(dxhat, axis=0, keepdims=True)
+    s2_ref[pl.ds(b, 1), :] += jnp.sum(dxhat * xhat, axis=0, keepdims=True)
 
 
-def _pallas_fwd(x, gamma, beta, num_groups, eps):
+def _grad_apply_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
+                       gmat_ref, g_ref, s1_ref, s2_ref, dx_ref,
+                       *, n: int, eps: float):
+    b = pl.program_id(0)
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    gmat = gmat_ref[:]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat, n, eps)
+    gamma = gamma_ref[pl.ds(b, 1), :]
+    xhat = (x - mean) * rstd
+    y = xhat * gamma + beta_ref[pl.ds(b, 1), :]
+    sig = jax.nn.sigmoid(y)
+    dy = g * sig * (1.0 + y * (1.0 - sig))
+    dxhat = dy * gamma
+    m1 = _gc(s1_ref[pl.ds(b, 1), :] / n, gmat)
+    m2 = _gc(s2_ref[pl.ds(b, 1), :] / n, gmat)
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _specs(b, n, c, tile):
+    x_spec = pl.BlockSpec((1, tile, c), lambda i, t: (i, t, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((b, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((c, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return x_spec, vec_spec, mat_spec
+
+
+def _compute_stats(x, tile):
+    b, n, c = x.shape
+    x_spec, vec_spec, _ = _specs(b, n, c, tile)
+    return pl.pallas_call(
+        _stats_kernel,
+        grid=(b, n // tile),
+        in_specs=[x_spec],
+        out_specs=[vec_spec, vec_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32)] * 2,
+    )(x)
+
+
+def _pallas_forward(x, gamma, beta, num_groups, eps, tile):
     b, n, c = x.shape
     gmat = jnp.asarray(_group_matrix(num_groups, c))
-    kernel = functools.partial(_fwd_kernel, eps=eps)
-    out, mean, rstd = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), x.dtype),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-        ],
-    )(x, gamma, beta, gmat)
-    return out, mean, rstd
+    sums, sumsq = _compute_stats(x, tile)
+    x_spec, vec_spec, mat_spec = _specs(b, n, c, tile)
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, n=n, eps=eps),
+        grid=(b, n // tile),
+        in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec, mat_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, gamma, beta, sums, sumsq, gmat)
+    return out, sums, sumsq
 
 
-def _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups):
+def _pallas_backward(x, gamma, beta, sums, sumsq, g, num_groups, eps, tile):
     b, n, c = x.shape
     gmat = jnp.asarray(_group_matrix(num_groups, c))
-    kernel = _bwd_kernel
-    dx, dgamma, dbeta = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), x.dtype),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-        ],
-    )(x, gamma, beta, mean, rstd, g, gmat)
+    x_spec, vec_spec, mat_spec = _specs(b, n, c, tile)
+    dgamma, dbeta, s1, s2 = pl.pallas_call(
+        functools.partial(_grad_stats_kernel, n=n, eps=eps),
+        grid=(b, n // tile),
+        in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec, mat_spec,
+                  x_spec],
+        out_specs=[vec_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, c), jnp.float32)] * 4,
+    )(x, gamma, beta, sums, sumsq, gmat, g)
+    dx = pl.pallas_call(
+        functools.partial(_grad_apply_kernel, n=n, eps=eps),
+        grid=(b, n // tile),
+        in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec, mat_spec,
+                  x_spec, vec_spec, vec_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, gamma, beta, sums, sumsq, gmat, g, s1, s2)
     return dx, dgamma, dbeta
 
 
@@ -206,34 +249,36 @@ def _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups):
 def fused_group_norm_silu(x, gamma, beta, num_groups: int, eps: float = 1e-5):
     """silu(group_norm(x) * gamma + beta) with per-sample gamma/beta.
 
-    x: (B, N, C); gamma, beta: (B, C). Uses the Pallas kernel on TPU and the
+    x: (B, N, C); gamma, beta: (B, C). Pallas kernels on TPU (tiled over N),
     jnp reference elsewhere.
     """
-    if not pallas_enabled():
+    tile = _tile_rows(x.shape[1])
+    if not pallas_enabled() or tile is None:
         return group_norm_silu_reference(x, gamma, beta, num_groups, eps)
-    out, _, _ = _pallas_fwd(x, gamma, beta, num_groups, eps)
+    out, _, _ = _pallas_forward(x, gamma, beta, num_groups, eps, tile)
     return out
 
 
 def _fgns_fwd(x, gamma, beta, num_groups, eps):
-    if not pallas_enabled():
+    tile = _tile_rows(x.shape[1])
+    if not pallas_enabled() or tile is None:
         out = group_norm_silu_reference(x, gamma, beta, num_groups, eps)
         return out, (x, gamma, beta, None, None)
-    out, mean, rstd = _pallas_fwd(x, gamma, beta, num_groups, eps)
-    return out, (x, gamma, beta, mean, rstd)
+    out, sums, sumsq = _pallas_forward(x, gamma, beta, num_groups, eps, tile)
+    return out, (x, gamma, beta, sums, sumsq)
 
 
 def _fgns_bwd(num_groups, eps, residuals, g):
-    x, gamma, beta, mean, rstd = residuals
-    if mean is None:
-        # fallback: differentiate the reference implementation
+    x, gamma, beta, sums, sumsq = residuals
+    if sums is None:
         _, vjp = jax.vjp(
             lambda xx, gg, bb: group_norm_silu_reference(xx, gg, bb,
                                                          num_groups, eps),
             x, gamma, beta)
         return vjp(g)
-    dx, dgamma, dbeta = _pallas_bwd(x, gamma, beta, mean, rstd, g, num_groups)
-    return dx, dgamma, dbeta
+    tile = _tile_rows(x.shape[1])
+    return _pallas_backward(x, gamma, beta, sums, sumsq, g, num_groups, eps,
+                            tile)
 
 
 fused_group_norm_silu.defvjp(_fgns_fwd, _fgns_bwd)

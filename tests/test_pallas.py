@@ -100,13 +100,17 @@ class TestKernelOnInterpreter:
         try:
             pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
             fn.pl.pallas_call = pl.pallas_call
-            out, mean, rstd = fn._pallas_fwd(x, gamma, beta, G, 1e-5)
+            # tile smaller than N to exercise the accumulation grid
+            out, sums, sumsq = fn._pallas_forward(x, gamma, beta, G, 1e-5,
+                                                  tile=N // 2)
         finally:
             pl.pallas_call = orig_call
             fn.pl.pallas_call = orig_call
         ref = group_norm_silu_reference(x, gamma, beta, G)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sums),
+                                   np.asarray(jnp.sum(x, axis=1)), rtol=1e-4)
 
     def test_pallas_bwd_interpret_matches_autodiff(self):
         pl = pytest.importorskip("jax.experimental.pallas")
@@ -122,8 +126,11 @@ class TestKernelOnInterpreter:
         try:
             pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
             fn.pl.pallas_call = pl.pallas_call
-            out, mean, rstd = fn._pallas_fwd(x, gamma, beta, G, 1e-5)
-            dx, dgamma, dbeta = fn._pallas_bwd(x, gamma, beta, mean, rstd, g, G)
+            out, sums, sumsq = fn._pallas_forward(x, gamma, beta, G, 1e-5,
+                                                  tile=N // 2)
+            dx, dgamma, dbeta = fn._pallas_backward(x, gamma, beta, sums,
+                                                    sumsq, g, G, 1e-5,
+                                                    tile=N // 2)
         finally:
             pl.pallas_call = orig_call
             fn.pl.pallas_call = orig_call
