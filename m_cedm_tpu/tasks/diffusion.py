@@ -945,23 +945,37 @@ class CondDdimTask(DdimTask):
             x_unnorm = jnp.concatenate([h_un, u_un], axis=-1)
             d = self.pde_loss(x_unnorm, x_unnorm, state.normalizer_input,
                               state.normalizer_target, return_d=True,
-                              calc_prob=True)
+                              calc_prob=calc_prob)
             # gradient w.r.t. the u block only
             d_u = d[..., self.h_ch:self.h_ch + self.u_ch]
             return d_u
 
         return guidance
 
+    def get_dx_input_cond(self, state, h_norm, u_denoised):
+        """dx conditioning channels for conditional tasks (ddim.py:601-635):
+        raw PDE gradient only for dx_norm='prob', otherwise the residual
+        gradient post-processed by `_normalize_dx` (l2/gauss/min_max/clamp)."""
+        if not self.dx_cond:
+            return None
+        guidance = self._pde_guidance_cond(
+            state, h_norm, calc_prob=(self.dx_norm == "prob"))
+        return self._normalize_dx(guidance(u_denoised))
+
     # --- samplers ----------------------------------------------------------------
 
-    def _cond_eps_fn(self, params, cond, w: float):
+    def _cond_eps_fn(self, params, cond, w: float, state=None):
         def eps(x, t, x_self_cond, key):
             del key
             t_b = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
+            # dx conditioning channels recomputed per step (ddim.py:1492)
+            dx = (self.get_dx_input_cond(state, cond, x)
+                  if (self.dx_cond and state is not None) else None)
             if w is None or abs(w) < 1e-3:
                 return self.net_apply(params, x, t_b, cond,
-                                      x_self_cond=x_self_cond)
-            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond)
+                                      x_self_cond=x_self_cond, dx=dx)
+            e_c = self.net_apply(params, x, t_b, cond, x_self_cond=x_self_cond,
+                                 dx=dx)
             e_u = self.net_apply(params, x, t_b, None, x_self_cond=x_self_cond)
             return (w + 1) * e_c - w * e_u
 
@@ -975,14 +989,15 @@ class CondDdimTask(DdimTask):
             self.alphas_cumprod, _sget(sp, "timesteps", 50),
             _sget(sp, "skip_type", "uniform"), _sget(sp, "eta", 0.0))
         params = self._sample_params(state)
-        eps = self._cond_eps_fn(params, cond_in, _sget(sp, "w", 0.0))
+        eps = self._cond_eps_fn(params, cond_in, _sget(sp, "w", 0.0),
+                                state=state)
         guidance = (self._pde_guidance_cond(state, cond_in) if guide_dx else None)
         shape = cond_in.shape[:3] + (self.u_ch,)
         return ddim_samplers.ddim_sample_cond(
             eps, key, shape, schedule, self_condition=self.self_condition,
             guidance_fn=guidance, return_last=return_last)
 
-    def _cond_denoise_fn(self, params, cond, w: float):
+    def _cond_denoise_fn(self, params, cond, w: float, state=None):
         """DDPM net driven as an EDM denoiser with conditioning; when the
         cond is channel-concatenated it is scaled by c_in (ddim.py:930-932)."""
         steps = jnp.asarray(self.edm_steps)
@@ -995,10 +1010,12 @@ class CondDdimTask(DdimTask):
             c_noise = (self.num_timesteps - 1 - idx).astype(jnp.float32)
             t_b = jnp.full((x.shape[0],), c_noise)
             cond_in = cond * c_in if cat_condition else cond
+            dx = (self.get_dx_input_cond(state, cond, x)
+                  if (self.dx_cond and state is not None) else None)
             if w is None or abs(w) < 1e-3:
-                F_x = self.net_apply(params, c_in * x, t_b, cond_in)
+                F_x = self.net_apply(params, c_in * x, t_b, cond_in, dx=dx)
             else:
-                F_c = self.net_apply(params, c_in * x, t_b, cond_in)
+                F_c = self.net_apply(params, c_in * x, t_b, cond_in, dx=dx)
                 F_u = self.net_apply(params, c_in * x, t_b, None)
                 F_x = (w + 1) * F_c - w * F_u
             return x - sigma * F_x
@@ -1017,7 +1034,8 @@ class CondDdimTask(DdimTask):
             S_min=_sget(sp, "S_min", 0.0), S_max=float(_sget(sp, "S_max", "inf")),
             S_noise=_sget(sp, "S_noise", 1.0), sigma_table=self.edm_steps)
         params = self._sample_params(state)
-        denoise = self._cond_denoise_fn(params, cond_in, _sget(sp, "w", 0.0))
+        denoise = self._cond_denoise_fn(params, cond_in, _sget(sp, "w", 0.0),
+                                        state=state)
         guidance = (self._pde_guidance_cond(state, cond_in) if guide_dx else None)
         shape = cond_in.shape[:3] + (self.u_ch,)
         return edm_samplers.heun_sample_cond(
@@ -1171,17 +1189,20 @@ class CondEdmTask(CondDdimTask):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return self._finish_step(state, grads, metrics)
 
-    def _cond_denoise_fn(self, params, cond, w: float):
+    def _cond_denoise_fn(self, params, cond, w: float, state=None):
         """True EDM preconditioning (no c_in cond scaling, no sigma table).
         Accepts an optional self-conditioning input (ddim.py:1770-1773)."""
 
         def denoise(x, sigma, key, x_sc=None):
             del key
             sig_b = sigma * jnp.ones((x.shape[0],))
+            dx = (self.get_dx_input_cond(state, cond, x)
+                  if (self.dx_cond and state is not None) else None)
             if w is None or abs(w) < 1e-3:
                 return self.model_precond(params, x, sig_b, cond,
-                                          x_self_cond=x_sc)
-            d_c = self.model_precond(params, x, sig_b, cond, x_self_cond=x_sc)
+                                          x_self_cond=x_sc, dx=dx)
+            d_c = self.model_precond(params, x, sig_b, cond, x_self_cond=x_sc,
+                                     dx=dx)
             d_u = self.model_precond(params, x, sig_b, None, x_self_cond=x_sc)
             return (w + 1) * d_c - w * d_u
 
@@ -1198,7 +1219,8 @@ class CondEdmTask(CondDdimTask):
             S_min=_sget(sp, "S_min", 0.0), S_max=float(_sget(sp, "S_max", "inf")),
             S_noise=_sget(sp, "S_noise", 1.0))
         params = self._sample_params(state)
-        denoise = self._cond_denoise_fn(params, cond_in, _sget(sp, "w", 0.0))
+        denoise = self._cond_denoise_fn(params, cond_in, _sget(sp, "w", 0.0),
+                                        state=state)
         guidance = (self._pde_guidance_cond(state, cond_in) if guide_dx else None)
         shape = cond_in.shape[:3] + (self.u_ch,)
         return edm_samplers.heun_sample_cond(

@@ -110,6 +110,15 @@ def main(argv=None) -> float:
         task.set_pde_loss_function(cfg.system, datamodule.flip_xy)
 
     ckpt_path = cfg.get("ckpt_path")
+    # override_epochs (reference run.py:78-80): on resume, the composed
+    # config's max_epochs wins over whatever the trainer was built with, so a
+    # resumed run extends to the newly-requested epoch count.
+    cfg_epochs = int(cfg.trainer.get("max_epochs", trainer.max_epochs))
+    if (cfg.get("override_epochs", False) and ckpt_path is not None
+            and trainer.max_epochs < cfg_epochs):
+        log.info(f"override_epochs: extending max_epochs "
+                 f"{trainer.max_epochs} -> {cfg_epochs}")
+        trainer.max_epochs = cfg_epochs
     trainer.fit(task, datamodule, ckpt_path=ckpt_path)
 
     metric_key = "val_mae_u_scaled"

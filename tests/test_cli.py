@@ -64,6 +64,34 @@ class TestRunCli:
         assert os.path.isdir(os.path.join(run_dirs[0], "checkpoints"))
         self._run_dir = run_dirs[0]
 
+    def test_resume_override_epochs(self, dataroot, tmp_path, monkeypatch):
+        """Resume from a finished run with a raised max_epochs +
+        override_epochs: the extra epochs must actually run
+        (reference run.py:78-80)."""
+        import run as run_module
+
+        monkeypatch.chdir(tmp_path)
+        run_module.main(
+            ["--config-name=config_adm_edm_mcedm_res32.yaml",
+             f"--config-path={CONFIG_DIR}", f"dataroot={dataroot}"]
+            + TINY_OVERRIDES)
+        run_dir = sorted(glob.glob(str(tmp_path / "logs" / "runs" / "*")))[-1]
+
+        overrides = [o for o in TINY_OVERRIDES
+                     if not o.startswith("trainer.max_epochs")]
+        run_module.main(
+            ["--config-name=config_adm_edm_mcedm_res32.yaml",
+             f"--config-path={CONFIG_DIR}", f"dataroot={dataroot}",
+             f"ckpt_path={run_dir}", "trainer.max_epochs=3",
+             "override_epochs=true"] + overrides)
+        new_dir = sorted(glob.glob(str(tmp_path / "logs" / "runs" / "*")))[-1]
+        assert new_dir != run_dir
+        records = [json.loads(l)
+                   for l in open(os.path.join(new_dir, "metrics.jsonl"))]
+        train_epochs = {r["epoch"] for r in records if "train_loss" in r}
+        assert {1, 2} <= train_epochs, (
+            f"resume should have trained epochs 1-2, got {train_epochs}")
+
     def test_eval_model_restores(self, dataroot, tmp_path, monkeypatch):
         import run as run_module
         import eval_model

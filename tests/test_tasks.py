@@ -367,6 +367,51 @@ class TestDxConditioning:
         out = task.sample_edm(state, cond, mask, jax.random.PRNGKey(3))
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def _cond_task(self, dx_norm="l2"):
+        hp = ddim_hparams(name="ddim_cond_h", in_ch=1, out_ch=1, cond_ch=1)
+        hp["model"]["dx_cond"] = True
+        hp["model"]["cat_dx"] = True
+        hp["model"]["dx_norm"] = dx_norm
+        task = CondDdimTask(hp)
+        task.set_pde_loss_function("swe_per", False)
+        return task
+
+    def test_cond_guidance_honors_calc_prob(self):
+        """_pde_guidance_cond(calc_prob) must not hardcode the log-prob
+        transform (ddim.py:601-635: dx conditioning with dx_norm != 'prob'
+        uses the raw residual gradient)."""
+        task = self._cond_task()
+        state = task.init_state(jax.random.PRNGKey(0))
+        h_un, _, _, u_un = grid_batch(jax.random.PRNGKey(1))
+        hu = task.transform.forward(state, h_un, u_un)
+        h, u = hu[..., :1], hu[..., 1:]
+        g_raw = np.asarray(task._pde_guidance_cond(state, h, calc_prob=False)(u))
+        g_prob = np.asarray(task._pde_guidance_cond(state, h, calc_prob=True)(u))
+        assert np.all(np.isfinite(g_raw)) and np.all(np.isfinite(g_prob))
+        assert not np.allclose(g_raw, g_prob), (
+            "raw residual gradient and log-prob gradient should differ")
+
+    def test_cond_dx_input_l2_and_sampling(self):
+        """Conditional dx conditioning channels: dx_norm='l2' unit-norm, and
+        both cond samplers run with dx channels wired in (ddim.py:1492,1571)."""
+        task = self._cond_task("l2")
+        state = task.init_state(jax.random.PRNGKey(0))
+        h_un, _, _, u_un = grid_batch(jax.random.PRNGKey(1))
+        hu = task.transform.forward(state, h_un, u_un)
+        h, u = hu[..., :1], hu[..., 1:]
+        dxin = np.asarray(task.get_dx_input_cond(state, h, u))
+        assert dxin.shape == u.shape
+        norms = np.linalg.norm(dxin.reshape(B, -1, 1), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+        sp_ddim = dict(task.test_sparams, type="ddim", timesteps=4,
+                       skip_type="uniform", eta=0.0)
+        out = task.sample(state, h, jax.random.PRNGKey(2), sp_ddim)
+        assert np.all(np.isfinite(np.asarray(out)))
+        sp_edm = dict(task.test_sparams, type="edm", timesteps=4)
+        out2 = task.sample_edm(state, h, jax.random.PRNGKey(3), sp_edm)
+        assert np.all(np.isfinite(np.asarray(out2)))
+
 
 class TestF64Parity:
     def test_f32_sampler_close_to_f64(self):
