@@ -67,11 +67,16 @@ def _qkv_init(heads: int, dim_head: int, n_chunks: int, boosted: Tuple[int, ...]
 
 
 def instance_norm_tokens(x, eps: float = 1e-5):
-    """Non-affine instance norm over the token axis of (..., n, d) — the
-    torch InstanceNorm1d(dim_head) semantics used by the reference (the
-    channel axis there is dim_head, normalized over n)."""
-    mean = jnp.mean(x, axis=-2, keepdims=True)
-    var = jnp.var(x, axis=-2, keepdims=True)
+    """Non-affine normalization of each token over the head-dim axis.
+
+    Parity note (verified by tests/test_golden.py): the reference's
+    `norm_wrt_domain` (oformer.py:243-247) passes (b*h, n, d) into
+    torch.nn.InstanceNorm1d(dim_head), which treats the layout as (N, C=n,
+    L=d) and therefore normalizes over the LAST axis per token — not over the
+    token/domain axis the Galerkin paper intends (torch warns num_features is
+    unused). We reproduce the actual behavior, not the intent."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mean) / jnp.sqrt(var + eps)
 
 

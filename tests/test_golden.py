@@ -1,0 +1,473 @@
+"""Whole-network golden parity: port the reference's torch weights into the
+flax pytrees and assert forward-output deltas <= 1e-3 on fixed inputs.
+
+The reference modules are imported from /root/reference (read-only) and
+executed in place — none of their code lives in this repo. pytorch_lightning
+is not installed in the image, so a minimal LightningModule stub is provided
+for the modules that subclass it.
+
+Targets (SURVEY.md §7 step 11):
+  DhariwalUNet   adm_blocks.py:203-404   <-> models/adm_unet.py
+  Model (DDPM)   ddim_blocks.py:222-470  <-> models/ddpm_unet.py
+  SpectralConv2d fno_2d.py:16-55         <-> models/fno.py
+  FnoState2d     fno_state_2d.py:17-118  <-> models/fno.py
+"""
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# reference import scaffolding
+# ---------------------------------------------------------------------------
+
+class Dot(dict):
+    """Attribute dict raising AttributeError on misses (hasattr-compatible,
+    like the OmegaConf objects the reference receives from hydra)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    __setattr__ = dict.__setitem__
+
+    @classmethod
+    def wrap(cls, o):
+        if isinstance(o, dict):
+            return cls({k: cls.wrap(v) for k, v in o.items()})
+        if isinstance(o, list):
+            return [cls.wrap(v) for v in o]
+        return o
+
+
+@pytest.fixture(scope="module")
+def reference():
+    if "pytorch_lightning" not in sys.modules:
+        import torch.nn as nn
+
+        class LightningModule(nn.Module):
+            def save_hyperparameters(self):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = LightningModule
+        sys.modules["pytorch_lightning"] = pl
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    yield REFERENCE
+
+
+# ---------------------------------------------------------------------------
+# weight-porting helpers
+# ---------------------------------------------------------------------------
+
+def t2n(t):
+    return np.asarray(t.detach().cpu().numpy(), np.float32)
+
+
+def conv_w(t):
+    """torch OIHW -> flax HWIO."""
+    return t2n(t).transpose(2, 3, 1, 0)
+
+
+def linear_w(t):
+    """torch (out, in) -> flax (in, out)."""
+    return t2n(t).T
+
+
+def set_leaf(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    old = node[path[-1]]
+    assert old.shape == value.shape, (path, old.shape, value.shape)
+    node[path[-1]] = jnp.asarray(value)
+
+
+def _deep_dict(d):
+    if isinstance(d, dict) or hasattr(d, "items"):
+        return {k: _deep_dict(v) for k, v in d.items()}
+    return d
+
+
+def qkv_permutation(c, channels_per_head=64):
+    """Output-channel permutation torch->flax for the ADM qkv conv.
+
+    torch (adm_blocks.py:176-177): (B, 3C, H, W).reshape(B*nh, c_h, 3, HW)
+      => torch channel index = head*(c_h*3) + chan*3 + qkv
+    flax (models/adm_unet.py): reshape(b, hw, 3, nh, c_h)
+      => flax channel index  = qkv*(nh*c_h) + head*c_h + chan
+    Returns perm with new_w[f] = old_w[perm[f]].
+    """
+    nh = max(c // channels_per_head, 1)
+    c_h = c // nh
+    perm = np.zeros(3 * c, np.int64)
+    for j in range(3):
+        for h in range(nh):
+            for ch in range(c_h):
+                perm[j * nh * c_h + h * c_h + ch] = h * c_h * 3 + ch * 3 + j
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# DhariwalUNet (ADM)
+# ---------------------------------------------------------------------------
+
+ADM_SUB = {"norm0": "norm0", "norm1": "norm1", "norm2": "GroupNorm_0",
+           "conv0": "conv0", "conv1": "conv1", "skip": "skip",
+           "affine": "affine", "qkv": "qkv", "proj": "proj"}
+
+
+def port_adm(state_dict, params):
+    tree = _deep_dict(params)
+    ported = set()
+    for key, tval in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] == "resample_filter":
+            continue  # constant [1,1] filter: realized as exact resize ops
+        if parts[0] in ("enc", "dec"):
+            if parts[1].endswith("_conv"):  # enc.{R}x{R}_conv -> conv_in
+                path = ("conv_in",)
+                sub = None
+            else:
+                path = (f"{parts[0]}_{parts[1]}",)
+                sub = ADM_SUB[parts[2]]
+        elif parts[0] in ("map_layer0", "map_layer1", "out_norm", "out_conv"):
+            path = (parts[0],)
+            sub = None
+        elif parts[0] in ("cond_enc", "dx_enc"):
+            path = (parts[0],)
+            sub = f"Conv2d_{int(parts[1]) // 2}"
+        elif parts[0] == "combine_enc":
+            path = ("combine_enc",)
+            sub = None
+        else:
+            raise AssertionError(f"unmapped reference key {key}")
+        kind = parts[-1]  # weight | bias
+        val = tval
+        if sub == "qkv":
+            perm = qkv_permutation(val.shape[0] // 3)
+            val = val[perm]
+        is_norm = ("norm" in (sub or parts[0])) or sub == "GroupNorm_0"
+        if kind == "weight":
+            if val.dim() == 4:
+                arr, leaf = conv_w(val), "kernel"
+            elif val.dim() == 2:
+                arr, leaf = linear_w(val), "kernel"
+            else:
+                arr, leaf = t2n(val), ("scale" if is_norm else "kernel")
+        else:
+            arr, leaf = t2n(val), "bias"
+        full = ("params",) + path + ((sub,) if sub else ()) + (leaf,)
+        set_leaf(tree, full, arr)
+        ported.add(full)
+    # every flax leaf must have been overwritten
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    all_paths = {tuple(p.key for p in path) for path, _ in flat}
+    missing = all_paths - ported
+    assert not missing, f"flax leaves not ported: {sorted(missing)}"
+    return tree
+
+
+class TestAdmGolden:
+    @pytest.fixture(scope="class")
+    def pair(self, reference):
+        import yaml
+        from models.adm_blocks import DhariwalUNet
+
+        with open(f"{REFERENCE}/configs/model/adm_edm_mcedm_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        hp_t = Dot.wrap(cfg["hparams"])
+        hp_t.model.resolution = 32
+        hp_t.model.attn_resolutions = [8]
+        torch.manual_seed(0)
+        tnet = DhariwalUNet(hp_t).eval()
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.models import build_backbone
+
+        hp_j = to_dotdict(cfg["hparams"])
+        hp_j["model"]["resolution"] = 32
+        hp_j["model"]["attn_resolutions"] = [8]
+        jnet, _ = build_backbone({"name": "adm_edm_mcedm", "model": hp_j["model"],
+                                  "data": hp_j["data"],
+                                  "optimization": hp_j["optimization"]})
+        params = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                           jnp.ones((1,)), jnp.zeros((1, 32, 32, 2)))
+        return tnet, jnet, port_adm(tnet.state_dict(), params)
+
+    def test_forward_parity(self, pair):
+        tnet, jnet, params = pair
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        cond = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        sig = np.asarray([0.1, 1.7], np.float32)
+        c_noise = np.log(sig) / 4
+
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(c_noise),
+                         cond=torch.from_numpy(cond.transpose(0, 3, 1, 2)))
+        out_t = t2n(out_t).transpose(0, 2, 3, 1)
+
+        out_j = np.asarray(jnet.apply(params, jnp.asarray(x),
+                                      jnp.asarray(c_noise), jnp.asarray(cond)))
+        delta = np.abs(out_t - out_j).max()
+        scale = np.abs(out_t).max()
+        assert delta <= 1e-3, f"ADM forward delta {delta} (scale {scale})"
+
+    def test_cond_none_parity(self, pair):
+        """cond=None path: zero-filled conditioning (adm_blocks.py:330-333)."""
+        tnet, jnet, params = pair
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        c_noise = np.asarray([0.0, -0.5], np.float32)
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(c_noise))
+        out_t = t2n(out_t).transpose(0, 2, 3, 1)
+        out_j = np.asarray(jnet.apply(params, jnp.asarray(x),
+                                      jnp.asarray(c_noise), None))
+        assert np.abs(out_t - out_j).max() <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# DDPM U-Net ("Model")
+# ---------------------------------------------------------------------------
+
+def port_ddpm(state_dict, params):
+    tree = _deep_dict(params)
+    ported = set()
+    for key, tval in state_dict.items():
+        parts = key.split(".")
+        p0 = parts[0]
+        if p0 == "temb":
+            path, sub = (f"temb_dense{parts[2]}",), None
+        elif p0 in ("conv_in", "conv_out", "norm_out", "combine_enc"):
+            path, sub = (p0,), None
+        elif p0 == "logvar":
+            set_leaf(tree, ("params", "logvar"), t2n(tval))
+            ported.add(("params", "logvar"))
+            continue
+        elif p0 in ("cond_enc", "dx_enc"):
+            path, sub = (p0,), f"TorchConv2d_{int(parts[1]) // 2}"
+        elif p0 in ("down", "up"):
+            lvl = parts[1]
+            kind = parts[2]  # block | attn | downsample | upsample
+            if kind in ("downsample", "upsample"):
+                path, sub = (f"{p0}_{lvl}_{kind}",), "conv"
+                parts = parts[:3] + parts[4:]  # drop '.conv'
+            else:
+                path, sub = (f"{p0}_{lvl}_{kind}_{parts[3]}",), parts[4]
+        elif p0 == "mid":
+            path, sub = (f"mid_{parts[1]}",), parts[2]
+        else:
+            raise AssertionError(f"unmapped reference key {key}")
+        if sub == "norm":  # AttnBlock's GroupNorm is auto-named in flax
+            sub = "GroupNorm_0"
+        kind = parts[-1]
+        val = tval
+        is_norm = "norm" in (sub or p0).lower()
+        if kind == "weight":
+            if val.dim() == 4:
+                arr, leaf = conv_w(val), "kernel"
+            elif val.dim() == 2:
+                arr, leaf = linear_w(val), "kernel"
+            else:
+                arr, leaf = t2n(val), ("scale" if is_norm else "kernel")
+        else:
+            arr, leaf = t2n(val), "bias"
+        full = ("params",) + path + ((sub,) if sub else ()) + (leaf,)
+        set_leaf(tree, full, arr)
+        ported.add(full)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    all_paths = {tuple(p.key for p in path) for path, _ in flat}
+    missing = all_paths - ported
+    assert not missing, f"flax leaves not ported: {sorted(missing)}"
+    return tree
+
+
+class TestDdpmGolden:
+    @pytest.fixture(scope="class")
+    def pair(self, reference):
+        import yaml
+        from models.ddim_blocks import Model
+
+        with open(f"{REFERENCE}/configs/model/ddim_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        hp_t = Dot.wrap(cfg["hparams"])
+        hp_t.model.resolution = 32
+        hp_t.model.attn_resolutions = [16]
+        torch.manual_seed(0)
+        tnet = Model(hp_t).eval()
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.models import build_backbone
+
+        hp_j = to_dotdict(cfg["hparams"])
+        hp_j["model"]["resolution"] = 32
+        hp_j["model"]["attn_resolutions"] = [16]
+        jnet, _ = build_backbone(hp_j)
+        params = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                           jnp.ones((1,)))
+        return tnet, jnet, port_ddpm(tnet.state_dict(), params)
+
+    def test_forward_parity(self, pair):
+        tnet, jnet, params = pair
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        t = np.asarray([17.0, 401.0], np.float32)
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(t))
+        out_t = t2n(out_t).transpose(0, 2, 3, 1)
+        out_j = np.asarray(jnet.apply(params, jnp.asarray(x), jnp.asarray(t)))
+        delta = np.abs(out_t - out_j).max()
+        assert delta <= 1e-3, f"DDPM forward delta {delta}"
+
+
+# ---------------------------------------------------------------------------
+# FNO
+# ---------------------------------------------------------------------------
+
+class TestFnoGolden:
+    def test_spectral_conv(self, reference):
+        from models.fno_2d import SpectralConv2d as TorchSpectral
+        from m_cedm_tpu.models.fno import SpectralConv2d
+
+        torch.manual_seed(0)
+        tmod = TorchSpectral(3, 5, modes1=4, modes2=4)
+        jmod = SpectralConv2d(5, 4, 4)
+        x = np.random.default_rng(3).normal(size=(2, 16, 16, 3)).astype(np.float32)
+        params = jmod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        tree = _deep_dict(params)
+        for i, w in ((1, tmod.weights1), (2, tmod.weights2)):
+            tree["params"][f"w{i}_real"] = jnp.asarray(t2n(w.real))
+            tree["params"][f"w{i}_imag"] = jnp.asarray(t2n(w.imag))
+        with torch.no_grad():
+            out_t = tmod(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out_t = t2n(out_t).transpose(0, 2, 3, 1)
+        out_j = np.asarray(jmod.apply(tree, jnp.asarray(x)))
+        assert np.abs(out_t - out_j).max() <= 1e-3
+
+    def test_fno_state_2d(self, reference):
+        from models.fno_state_2d import FnoState2d as TorchFnoState
+        from m_cedm_tpu.models.fno import FnoConfig, FnoState2d
+
+        hp = Dot.wrap(dict(modes_1=4, modes_2=4, width=16, num_layers=3,
+                           time_history=16, time_future=0, padding_t=4,
+                           padding_x=0, input_size=1, state_size=1,
+                           inst_norm=False, loss="l1", lr=1e-3,
+                           weight_decay=0.0, factor=0.5, step_size=50))
+        torch.manual_seed(0)
+        tnet = TorchFnoState(hp).eval()
+        jnet = FnoState2d(FnoConfig(modes_1=4, modes_2=4, width=16,
+                                    num_layers=3, time_history=16,
+                                    padding_t=4, padding_x=0, input_size=1,
+                                    state_size=1, inst_norm=False))
+        x = np.random.default_rng(4).normal(size=(2, 16, 16, 1)).astype(np.float32)
+        params = jnet.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        tree = _deep_dict(params)
+
+        sd = tnet.state_dict()
+        for name in ("fc0", "fc1", "fc2"):
+            tree["params"][name]["kernel"] = jnp.asarray(linear_w(sd[f"{name}.weight"]))
+            tree["params"][name]["bias"] = jnp.asarray(t2n(sd[f"{name}.bias"]))
+        for i in range(3):
+            for j in (1, 2):
+                w = sd[f"fourier_layers.{i}.weights{j}"]
+                tree["params"][f"fourier_{i}"][f"w{j}_real"] = jnp.asarray(
+                    t2n(w.real))
+                tree["params"][f"fourier_{i}"][f"w{j}_imag"] = jnp.asarray(
+                    t2n(w.imag))
+            tree["params"][f"conv_{i}"]["kernel"] = jnp.asarray(
+                conv_w(sd[f"conv_layers.{i}.weight"]))
+            tree["params"][f"conv_{i}"]["bias"] = jnp.asarray(
+                t2n(sd[f"conv_layers.{i}.bias"]))
+
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x))  # reference takes (B, X, T, C)
+        out_t = t2n(out_t)
+        out_j = np.asarray(jnet.apply(tree, jnp.asarray(x)))
+        assert out_t.shape == out_j.shape
+        assert np.abs(out_t - out_j).max() <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# OFormer encoder (Galerkin linear attention + RoPE)
+# ---------------------------------------------------------------------------
+
+class TestOformerGolden:
+    def test_encoder_parity(self, reference):
+        from models.oformer import IrregSTEncoder as TorchEnc
+        from m_cedm_tpu.models.oformer import (IrregSTEncoder,
+                                               OformerEncoderConfig)
+
+        hp = Dot.wrap(dict(time_window=1, input_channels=3, in_emb_dim=32,
+                           out_channels=32, max_node_type=2, heads=1, depth=4,
+                           res=16, use_ln=True, emb_dropout=0.0,
+                           relative_emb_dim=2))
+        torch.manual_seed(0)
+        tnet = TorchEnc(hp).eval()
+        jnet = IrregSTEncoder(OformerEncoderConfig.from_hparams(hp))
+
+        b, n = 2, 64
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(b, 1, n, 3)).astype(np.float32)
+        node_type = np.zeros((b, n, 1), np.int32)
+        node_type[:, 0] = 1
+        node_type[:, -1] = 1
+        pos = rng.uniform(0, 16, size=(b, n, 2)).astype(np.float32)
+
+        params = jnet.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(node_type), jnp.asarray(pos))
+        tree = _deep_dict(params)
+        sd = tnet.state_dict()
+        p = tree["params"]
+        p["emb0"]["kernel"] = jnp.asarray(t2n(sd["to_embedding.1.weight"])[:, :, 0, 0].T)
+        p["emb1"]["kernel"] = jnp.asarray(t2n(sd["to_embedding.3.weight"])[:, :, 0, 0].T)
+        p["node_embedding"]["embedding"] = jnp.asarray(t2n(sd["node_embedding.weight"]))
+        p["combine_embedding"]["kernel"] = jnp.asarray(linear_w(sd["combine_embedding.weight"]))
+        for d in range(4):
+            st = p["s_transformer"]
+            st[f"ln1_{d}"]["scale"] = jnp.asarray(t2n(sd[f"s_transformer.layers.{d}.0.weight"]))
+            st[f"ln1_{d}"]["bias"] = jnp.asarray(t2n(sd[f"s_transformer.layers.{d}.0.bias"]))
+            st[f"attn_{d}"]["to_qkv"]["kernel"] = jnp.asarray(
+                linear_w(sd[f"s_transformer.layers.{d}.1.to_qkv.weight"]))
+            st[f"ln2_{d}"]["scale"] = jnp.asarray(t2n(sd[f"s_transformer.layers.{d}.2.weight"]))
+            st[f"ln2_{d}"]["bias"] = jnp.asarray(t2n(sd[f"s_transformer.layers.{d}.2.bias"]))
+            st[f"ffn_{d}"]["Dense_0"]["kernel"] = jnp.asarray(
+                linear_w(sd[f"s_transformer.layers.{d}.3.net.0.weight"]))
+            st[f"ffn_{d}"]["Dense_0"]["bias"] = jnp.asarray(
+                t2n(sd[f"s_transformer.layers.{d}.3.net.0.bias"]))
+            st[f"ffn_{d}"]["Dense_1"]["kernel"] = jnp.asarray(
+                linear_w(sd[f"s_transformer.layers.{d}.3.net.3.weight"]))
+            st[f"ffn_{d}"]["Dense_1"]["bias"] = jnp.asarray(
+                t2n(sd[f"s_transformer.layers.{d}.3.net.3.bias"]))
+        p["ln"]["scale"] = jnp.asarray(t2n(sd["ln.weight"]))
+        p["ln"]["bias"] = jnp.asarray(t2n(sd["ln.bias"]))
+        p["out0"]["kernel"] = jnp.asarray(linear_w(sd["to_out.0.weight"]))
+        p["out1"]["kernel"] = jnp.asarray(linear_w(sd["to_out.2.weight"]))
+
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x), torch.from_numpy(node_type).long(),
+                         torch.from_numpy(pos))
+        out_t = t2n(out_t)
+        out_j = np.asarray(jnet.apply(tree, jnp.asarray(x),
+                                      jnp.asarray(node_type), jnp.asarray(pos)))
+        assert out_t.shape == out_j.shape
+        delta = np.abs(out_t - out_j).max()
+        assert delta <= 1e-3, f"OFormer encoder delta {delta}"

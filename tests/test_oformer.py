@@ -54,7 +54,11 @@ class TestRotary:
 class TestLinearAttention:
     def test_galerkin_kernel_matches_torch(self):
         """The attention math k^T v -> q (k^T v) / n with instance-normed k, v
-        must agree with a direct torch transcription on the same q, k, v."""
+        must agree with a torch transcription of what the reference ACTUALLY
+        runs: norm_wrt_domain (oformer.py:243-247) feeds (b*h, n, d) straight
+        into InstanceNorm1d, so torch normalizes each token over the head-dim
+        axis (num_features is ignored for affine=False). Verified end-to-end
+        by tests/test_golden.py::TestOformerGolden."""
         rs = np.random.RandomState(0)
         q = rs.randn(B, 2, 10, 8).astype(np.float32)
         k = rs.randn(B, 2, 10, 8).astype(np.float32)
@@ -66,11 +70,9 @@ class TestLinearAttention:
                          jnp.einsum("bhnd,bhne->bhde", kn, vn)) / 10
 
         kt = torch.nn.functional.instance_norm(
-            torch.tensor(k).reshape(B * 2, 10, 8).transpose(1, 2)
-        ).transpose(1, 2).reshape(B, 2, 10, 8)
+            torch.tensor(k).reshape(B * 2, 10, 8)).reshape(B, 2, 10, 8)
         vt = torch.nn.functional.instance_norm(
-            torch.tensor(v).reshape(B * 2, 10, 8).transpose(1, 2)
-        ).transpose(1, 2).reshape(B, 2, 10, 8)
+            torch.tensor(v).reshape(B * 2, 10, 8)).reshape(B, 2, 10, 8)
         dots = torch.matmul(kt.transpose(-1, -2), vt)
         ref = torch.matmul(torch.tensor(q), dots) * (1.0 / 10)
         np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3,
