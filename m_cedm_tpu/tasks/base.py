@@ -138,5 +138,25 @@ def scale_back_min_max(scaled, mn, mx):
     return (flat * (mx - mn) + mn).reshape(scaled.shape)
 
 
+def chunked_ensemble(draw, keys, chunk: int = 4):
+    """vmap `draw` over an ensemble of PRNG keys in chunks.
+
+    The reference folds the n_samples ensemble into the batch
+    (mcedm.py:356-376, run.py:52-54 forces test_batch_size=1 at
+    n_samples=100). A flat vmap over 100 Heun scans is one gigantic XLA
+    program (compile time and activation memory scale with the ensemble), so
+    large ensembles run as a `lax.map` over vmap-chunks: the chunk body is
+    compiled once and iterated sequentially, bounding both. Chunks stay
+    vmapped so each iteration still fills the chip.
+    """
+    n = keys.shape[0]
+    if n <= chunk or n % chunk != 0:
+        return jax.vmap(draw)(keys)
+    ks = keys.reshape((n // chunk, chunk) + keys.shape[1:])
+    out = jax.lax.map(lambda kk: jax.vmap(draw)(kk), ks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n,) + x.shape[2:]), out)
+
+
 def mae(pred, target):
     return jnp.mean(jnp.abs(pred - target))

@@ -55,6 +55,7 @@ from m_cedm_tpu.samplers import edm as edm_samplers
 from m_cedm_tpu.tasks.base import (
     DataTransform,
     TrainState,
+    chunked_ensemble,
     ema_update,
     make_optimizer,
     normalizers_from_stats,
@@ -441,7 +442,7 @@ class McedmTask(DiffusionTaskBase):
                                  guide_dx=guide_dx, return_last=True)
             return xs[:, -1]
 
-        samples = jax.vmap(draw)(jax.random.split(k_sample, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(k_sample, n_samples))
         hu_mean = jnp.mean(samples, axis=0)
 
         mask_loss = mask_b if down_mask is None else mask_b * down_mask
@@ -760,7 +761,7 @@ class DdimTask(DiffusionTaskBase):
                                              guide_dx=guide_dx)
             return xs[:, -1]
 
-        samples = jax.vmap(draw)(jax.random.split(key, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(key, n_samples))
         if split == "test" and _sget(sp, "select_by_pde", False):
             hu_mean = self._select_best_by_pde(
                 state, samples, jnp.concatenate([h_un, u_un], axis=-1),
@@ -1063,7 +1064,7 @@ class CondDdimTask(DdimTask):
                 xs = self.sample(state, cond_in, k, sp, guide_dx=guide_dx)
             return xs[:, -1]
 
-        samples = jax.vmap(draw)(jax.random.split(key, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(key, n_samples))
         if split == "test" and _sget(sp, "select_by_pde", False):
             # score the joint [h | u_sample] field (ddim.py:1259-1273)
             h_rep = jnp.broadcast_to(h[None], (n_samples,) + h.shape)

@@ -33,6 +33,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config-name", default="config.yaml")
     p.add_argument("--config-path", default="configs")
+    p.add_argument("-m", "--multirun", action="store_true",
+                   help="hydra --multirun parity: overrides like "
+                        "'lr=tag(log, interval(1e-4, 1e-2))' define the "
+                        "search space; runs the TPE sweep (15 trials, "
+                        "minimize — reference hydra.sweeper block)")
+    p.add_argument("--n-trials", type=int, default=15,
+                   help="sweep trials under --multirun "
+                        "(reference hydra.sweeper.n_trials)")
     p.add_argument("overrides", nargs="*", help="hydra-style key=value overrides")
     return p.parse_args(argv)
 
@@ -46,6 +54,18 @@ def build_run_dir(cfg) -> str:
 
 def main(argv=None) -> float:
     args = parse_args(argv)
+    if args.multirun:
+        from sweep import run_sweep, split_multirun_overrides
+
+        constants, space = split_multirun_overrides(args.overrides)
+        if not space:
+            raise SystemExit(
+                "--multirun needs at least one sweep override, e.g. "
+                "'model.hparams.lr=tag(log, interval(1e-4, 1e-2))'")
+        return run_sweep(args.config_name, args.config_path, constants, space,
+                         n_trials=args.n_trials,
+                         seed=int(next((o.split("=")[1] for o in constants
+                                        if o.startswith("seed=")), 0)))
     distributed_init()
     cfg = compose(args.config_path, args.config_name, args.overrides)
 

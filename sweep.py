@@ -1,54 +1,44 @@
 #!/usr/bin/env python
-"""Hyperparameter sweep driver.
+"""Hyperparameter sweep driver (the Hydra optuna-TPE sweeper equivalent).
 
 The reference wires Hydra's optuna sweeper (TPE, 15 trials, minimize) into
-every top-level config (configs/config_*.yaml hydra.sweeper blocks). This
-driver reproduces that surface without a hydra dependency: each trial
-composes the config with sampled overrides, calls run.main, and minimizes
-the returned objective (val_mae_u_scaled, as in reference run.py:102).
+every top-level config (configs/config_*.yaml hydra.sweeper blocks) and
+defines the search space with CLI override syntax under --multirun, e.g.
 
-Uses optuna's TPE when optuna is importable; falls back to random search
-otherwise (this image ships no optuna).
+    python run.py --multirun --config-name=config_fnostatereconstrabs2d.yaml \
+        'model.hparams.lr=tag(log, interval(1e-4, 1e-2))' \
+        'model.hparams.width=choice(16, 32, 64)'
 
-    python sweep.py --config-name=config_fnostatereconstrabs2d.yaml \
-        --n-trials 15 \
-        --space model.hparams.lr=loguniform:1e-4:1e-2 \
-        --space model.hparams.width=choice:16,32,64 \
-        system=swe_per dataroot=data trainer.max_epochs=5
+This driver reproduces that behavior in-image: each trial composes the
+config with sampled overrides, calls run.main, and minimizes the returned
+objective (val/test_mae_u_scaled, reference run.py:102-119). The sampler is
+optuna's TPE when optuna is importable, otherwise the vendored TPE
+(m_cedm_tpu/tpe.py — same algorithm family, no dependency); --sampler random
+forces random search.
+
+Space syntax (both accepted):
+  * hydra sweep overrides: key=interval(lo,hi) | tag(log, interval(lo,hi))
+    | range(lo, hi[, step]) | choice(a, b, c)
+  * --space key=kind:args with kind in uniform|loguniform|int|choice
 """
 from __future__ import annotations
 
 import argparse
 import json
 import math
-import os
 import random
+import re
 from typing import Dict, List, Tuple
 
-import numpy as np
-
-import run as run_module
+from m_cedm_tpu.tpe import TPESampler
 from m_cedm_tpu.utils import get_logger
 
 log = get_logger(__name__)
 
 
-def parse_space(specs: List[str]):
-    """key=kind:args -> sampling spec. Kinds: uniform:lo:hi,
-    loguniform:lo:hi, int:lo:hi, choice:a,b,c."""
-    space = {}
-    for spec in specs:
-        key, rhs = spec.split("=", 1)
-        kind, _, args = rhs.partition(":")
-        if kind in ("uniform", "loguniform", "int"):
-            lo, hi = args.split(":")
-            space[key] = (kind, float(lo), float(hi))
-        elif kind == "choice":
-            space[key] = ("choice", [json_load(v) for v in args.split(",")])
-        else:
-            raise ValueError(f"unknown space kind {kind!r}")
-    return space
-
+# ---------------------------------------------------------------------------
+# search-space parsing
+# ---------------------------------------------------------------------------
 
 def json_load(v: str):
     try:
@@ -57,33 +47,142 @@ def json_load(v: str):
         return v
 
 
-def sample_random(space, rng: random.Random) -> Dict[str, str]:
-    out = {}
-    for key, spec in space.items():
-        if spec[0] == "uniform":
-            out[key] = str(rng.uniform(spec[1], spec[2]))
-        elif spec[0] == "loguniform":
-            out[key] = str(math.exp(rng.uniform(math.log(spec[1]),
-                                                math.log(spec[2]))))
-        elif spec[0] == "int":
-            out[key] = str(rng.randint(int(spec[1]), int(spec[2])))
-        elif spec[0] == "choice":
-            out[key] = json.dumps(rng.choice(spec[1]))
-    return out
+def parse_space_spec(spec: str):
+    """--space syntax: kind:args."""
+    kind, _, args = spec.partition(":")
+    if kind in ("uniform", "loguniform", "int"):
+        lo, hi = args.split(":")
+        return (kind, float(lo), float(hi))
+    if kind == "choice":
+        return ("choice", [json_load(v) for v in args.split(",")])
+    raise ValueError(f"unknown space kind {kind!r}")
 
 
-def suggest_optuna(trial, space) -> Dict[str, str]:
-    out = {}
-    for key, spec in space.items():
-        if spec[0] == "uniform":
-            out[key] = str(trial.suggest_float(key, spec[1], spec[2]))
-        elif spec[0] == "loguniform":
-            out[key] = str(trial.suggest_float(key, spec[1], spec[2], log=True))
-        elif spec[0] == "int":
-            out[key] = str(trial.suggest_int(key, int(spec[1]), int(spec[2])))
-        elif spec[0] == "choice":
-            out[key] = json.dumps(trial.suggest_categorical(key, spec[1]))
-    return out
+_HYDRA_RE = re.compile(
+    r"^\s*(tag\(\s*log\s*,\s*)?(interval|range|choice)\s*\(([^()]*)\)\s*\)?\s*$")
+
+
+def parse_hydra_sweep(value: str):
+    """Hydra --multirun override syntax -> space spec, or None if the value
+    is a plain (constant) override."""
+    m = _HYDRA_RE.match(value)
+    if not m:
+        return None
+    log_tag, fn, args_s = m.groups()
+    args = [a.strip() for a in args_s.split(",") if a.strip()]
+    if fn == "interval":
+        lo, hi = float(args[0]), float(args[1])
+        return ("loguniform" if log_tag else "uniform", lo, hi)
+    if fn == "range":
+        lo, hi = float(args[0]), float(args[1])
+        step = float(args[2]) if len(args) > 2 else 1.0
+        if step == 1.0 and lo == int(lo) and hi == int(hi):
+            return ("int", lo, hi)
+        opts, v = [], lo
+        while v <= hi + 1e-12:
+            opts.append(int(v) if v == int(v) else v)
+            v += step
+        return ("choice", opts)
+    if fn == "choice":
+        return ("choice", [json_load(a) for a in args])
+    return None
+
+
+def split_multirun_overrides(overrides: List[str]):
+    """Partition key=value overrides into (constant overrides, space)."""
+    constants, space = [], {}
+    for ov in overrides:
+        key, _, value = ov.partition("=")
+        spec = parse_hydra_sweep(value)
+        if spec is None:
+            constants.append(ov)
+        else:
+            space[key] = spec
+    return constants, space
+
+
+def _format(v) -> str:
+    return json.dumps(v) if isinstance(v, (list, bool)) else str(v)
+
+
+# ---------------------------------------------------------------------------
+# sweep core
+# ---------------------------------------------------------------------------
+
+def run_sweep(config_name: str, config_path: str, constants: List[str],
+              space: Dict[str, Tuple], n_trials: int = 15, seed: int = 0,
+              sampler: str = "tpe", results_file: str = "sweep_results.json",
+              objective_fn=None) -> float:
+    """TPE (or random) minimization over run.main's returned objective.
+    Mirrors hydra.sweeper: n_trials=15, direction=minimize, tpe sampler
+    (reference configs/config_adm_edm_mcedm_res32.yaml:20-31)."""
+    import run as run_module
+
+    objective_fn = objective_fn or (lambda overrides: run_module.main(
+        [f"--config-name={config_name}", f"--config-path={config_path}"]
+        + overrides))
+
+    results: List[Tuple[float, Dict[str, str]]] = []
+
+    def evaluate(params) -> float:
+        overrides = constants + [f"{k}={_format(v)}" for k, v in params.items()]
+        log.info(f"trial {len(results)}: {params}")
+        value = float(objective_fn(overrides))
+        results.append((value, {k: _format(v) for k, v in params.items()}))
+        return value
+
+    best_value, best_params = math.inf, {}
+    if sampler == "tpe":
+        try:
+            import optuna
+
+            ostudy = optuna.create_study(
+                direction="minimize",
+                sampler=optuna.samplers.TPESampler(seed=seed))
+
+            def obj(trial):
+                params = {}
+                for key, spec in space.items():
+                    if spec[0] == "uniform":
+                        params[key] = trial.suggest_float(key, spec[1], spec[2])
+                    elif spec[0] == "loguniform":
+                        params[key] = trial.suggest_float(key, spec[1], spec[2],
+                                                          log=True)
+                    elif spec[0] == "int":
+                        params[key] = trial.suggest_int(key, int(spec[1]),
+                                                        int(spec[2]))
+                    else:
+                        params[key] = trial.suggest_categorical(key, spec[1])
+                return evaluate(params)
+
+            ostudy.optimize(obj, n_trials=n_trials)
+            best_value = ostudy.best_value
+            best_params = {k: _format(v) for k, v in ostudy.best_params.items()}
+        except ImportError:
+            log.info("optuna not installed; using the vendored TPE sampler "
+                     "(m_cedm_tpu/tpe.py)")
+            tpe = TPESampler(space, seed=seed)
+            for _ in range(n_trials):
+                params = tpe.suggest()
+                tpe.tell(params, evaluate(params))
+            params, best_value = tpe.best
+            best_params = {k: _format(v) for k, v in params.items()}
+    else:  # random search
+        rng = random.Random(seed)
+        probe = TPESampler(space, seed=seed, n_startup=10 ** 9)  # pure random
+        probe.rng = rng
+        for _ in range(n_trials):
+            params = probe.suggest()
+            evaluate(params)
+        best_value, best_params = min(results, key=lambda r: r[0])
+
+    log.info(f"best objective: {best_value} with {best_params}")
+    with open(results_file, "w") as f:
+        json.dump({"best_value": float(best_value), "best_params": best_params,
+                   "sampler": sampler,
+                   "trials": [{"value": float(v), "params": p}
+                              for v, p in results]}, f, indent=2, default=str)
+    return float(best_value)
 
 
 def main(argv=None) -> float:
@@ -92,44 +191,26 @@ def main(argv=None) -> float:
     p.add_argument("--config-path", default="configs")
     p.add_argument("--n-trials", type=int, default=15)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", choices=("tpe", "random"), default="tpe")
     p.add_argument("--space", action="append", default=[],
                    help="key=kind:args sampling spec (repeatable)")
-    p.add_argument("overrides", nargs="*")
+    p.add_argument("overrides", nargs="*",
+                   help="constant overrides, or hydra sweep overrides like "
+                        "'lr=tag(log, interval(1e-4, 1e-2))'")
     args = p.parse_args(argv)
-    space = parse_space(args.space)
 
-    results: List[Tuple[float, Dict[str, str]]] = []
+    space = {}
+    for spec in args.space:
+        key, rhs = spec.split("=", 1)
+        space[key] = parse_space_spec(rhs)
+    constants, hydra_space = split_multirun_overrides(args.overrides)
+    space.update(hydra_space)
+    if not space:
+        raise SystemExit("no search space given (--space or sweep overrides)")
 
-    def objective(params: Dict[str, str]) -> float:
-        trial_overrides = args.overrides + [f"{k}={v}" for k, v in params.items()]
-        log.info(f"trial params: {params}")
-        value = run_module.main([f"--config-name={args.config_name}",
-                                 f"--config-path={args.config_path}"]
-                                + trial_overrides)
-        results.append((value, params))
-        return value
-
-    try:
-        import optuna
-
-        sampler = optuna.samplers.TPESampler(seed=args.seed)
-        study = optuna.create_study(direction="minimize", sampler=sampler)
-        study.optimize(lambda t: objective(suggest_optuna(t, space)),
-                       n_trials=args.n_trials)
-        best_value, best_params = study.best_value, study.best_params
-    except ImportError:
-        log.info("optuna not installed; using random search")
-        rng = random.Random(args.seed)
-        for _ in range(args.n_trials):
-            objective(sample_random(space, rng))
-        best_value, best_params = min(results, key=lambda r: r[0])
-
-    log.info(f"best objective: {best_value} with {best_params}")
-    with open("sweep_results.json", "w") as f:
-        json.dump({"best_value": float(best_value), "best_params": best_params,
-                   "trials": [{"value": float(v), "params": p}
-                              for v, p in results]}, f, indent=2, default=str)
-    return float(best_value)
+    return run_sweep(args.config_name, args.config_path, constants, space,
+                     n_trials=args.n_trials, seed=args.seed,
+                     sampler=args.sampler)
 
 
 if __name__ == "__main__":

@@ -413,6 +413,44 @@ class TestDxConditioning:
         assert np.all(np.isfinite(np.asarray(out2)))
 
 
+class TestChunkedEnsemble:
+    def test_matches_flat_vmap(self):
+        from m_cedm_tpu.tasks.base import chunked_ensemble
+
+        def draw(k):
+            return jax.random.normal(k, (3, 4))
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+        flat = jax.vmap(draw)(keys)
+        chunked = chunked_ensemble(draw, keys, chunk=4)
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(chunked))
+        # non-divisible ensembles fall back to the flat vmap
+        keys5 = jax.random.split(jax.random.PRNGKey(1), 5)
+        np.testing.assert_array_equal(
+            np.asarray(jax.vmap(draw)(keys5)),
+            np.asarray(chunked_ensemble(draw, keys5, chunk=4)))
+
+    def test_n_samples_100_eval(self):
+        """The reference's headline eval path (run.py:52-54: n_samples=100 ->
+        test_batch_size=1) must execute without building a 100-sampler XLA
+        program: the ensemble runs as lax.map over vmap-chunks."""
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        task.set_test_sampler_params(dict(task.test_sparams, timesteps=2,
+                                          n_samples=100))
+        state = task.init_state(jax.random.PRNGKey(0))
+        h, tg, xg, u = grid_batch(jax.random.PRNGKey(1))
+        batch = (h[:1], tg[:1], xg[:1], u[:1])  # test_batch_size=1
+        mask = jnp.concatenate([jnp.zeros((RES, RES, 1)),
+                                jnp.ones((RES, RES, 1))], axis=-1)
+        metrics, pred = task.eval_step(state, batch, jax.random.PRNGKey(2),
+                                       mask, split="test", n_samples=100,
+                                       mask_name="u")
+        assert pred.shape == (1, RES, RES, 2)
+        assert np.all(np.isfinite(np.asarray(pred)))
+        assert np.isfinite(float(metrics["test_mae_u"]))
+
+
 class TestF64Parity:
     def test_f32_sampler_close_to_f64(self):
         """SURVEY hard part: the reference runs the Heun loop in float64; our
