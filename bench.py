@@ -132,6 +132,8 @@ def cost_analysis(task, state, batch):
     except Exception:
         tf = tb = None
     try:
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
         x = jnp.ones((B, RES, RES, 2))
         sig = jnp.full((B,), 1.5)
         cond = jnp.zeros((B, RES, RES, 2))
@@ -139,10 +141,28 @@ def cost_analysis(task, state, batch):
         def fwd(params, x, sig, cond):
             return task.model_precond(params, x, sig, cond)
 
+        # bytes from the production (fused) graph; flops from the unfused
+        # lowering of the identical math — XLA's cost analysis cannot see
+        # inside Pallas custom calls, so the fused graph under-reports flops
         ca = jax.jit(fwd).lower(state.params, x, sig, cond).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        ff, fb = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+        fb = float(ca.get("bytes accessed", 0))
+        prev_flag = os.environ.get("MCEDM_PALLAS")
+        os.environ["MCEDM_PALLAS"] = "0"  # pure-XLA trace: full flop count
+        try:
+            with disable_conv_fusion():
+                ca2 = (jax.jit(lambda *a: fwd(*a))
+                       .lower(state.params, x, sig, cond)
+                       .compile().cost_analysis())
+        finally:
+            if prev_flag is None:
+                os.environ.pop("MCEDM_PALLAS", None)
+            else:
+                os.environ["MCEDM_PALLAS"] = prev_flag
+        if isinstance(ca2, list):
+            ca2 = ca2[0]
+        ff = float(ca2.get("flops", 0))
     except Exception:
         ff = fb = None
     return tf, tb, ff, fb
@@ -163,6 +183,11 @@ def _probe_pallas():
         from m_cedm_tpu.pallas.fused_attention import fused_attention
 
         float(jnp.sum(fused_attention(x, x, x)))
+        from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
+
+        x4 = jnp.ones((2, 8, 8, 64))
+        w4 = jnp.ones((3, 3, 64, 64)) * 0.01
+        float(jnp.sum(fused_gn_silu_conv(x4, g, b, w4, None, 16)))
     except Exception as e:  # pragma: no cover - device-specific
         os.environ["MCEDM_PALLAS"] = "0"
         import sys

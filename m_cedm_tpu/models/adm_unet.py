@@ -117,21 +117,40 @@ class UNetBlock(nn.Module):
         num_heads = c // self.channels_per_head if self.attention else 0
 
         orig = x
-        h = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps, name="norm0")(x)
-        h = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT, name="conv0")(h)
+        # norm0+silu+conv0 fuse into one Pallas kernel when conv0 does not
+        # resample (the normalized intermediate never round-trips HBM)
+        from m_cedm_tpu.models.layers import conv_fusion_enabled
+
+        norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
+                              name="norm0")
+        conv0 = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT,
+                       name="conv0")
+        if conv_fusion_enabled() and not self.up and not self.down:
+            g0, b0 = norm0(x, fold_only=True)
+            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels), self.eps))
+        else:
+            h = conv0(norm0(x))
 
         params = Linear(c * (2 if self.adaptive_scale else 1), **INIT, name="affine")(emb)
         if self.adaptive_scale:
             scale, shift = jnp.split(params, 2, axis=-1)  # (B, C) each
-            h = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")(
-                h, film_scale=scale, film_shift=shift)
+            norm1 = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")
+            conv1 = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")
+            if self.dropout > 0 or not conv_fusion_enabled():
+                h = norm1(h, film_scale=scale, film_shift=shift)
+                if self.dropout > 0:
+                    h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+                h = conv1(h)
+            else:
+                g1, b1 = norm1(h, film_scale=scale, film_shift=shift,
+                               fold_only=True)
+                h = conv1(h, fused_norm=(g1, b1, _adm_groups(c), self.eps))
         else:
             h = nn.silu(adm_group_norm(c, eps=self.eps)(
                 h + params[:, None, None, :].astype(h.dtype)))
-
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")(h)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")(h)
 
         if c != in_channels or self.up or self.down:
             skip_kernel = 1 if c != in_channels else 0

@@ -26,6 +26,30 @@ import jax
 import jax.numpy as jnp
 
 
+_CONV_FUSION = True
+
+
+def conv_fusion_enabled() -> bool:
+    """Trace-time switch for the fused norm+silu+conv path. Fusion wins in
+    forward-only graphs (sampling: the normalized intermediate never touches
+    HBM) but loses under autodiff (the custom-vjp backward recomputes the
+    composition), so train steps disable it while tracing."""
+    return _CONV_FUSION
+
+
+class disable_conv_fusion:
+    """Context manager: trace grad-bearing graphs with conv fusion off."""
+
+    def __enter__(self):
+        global _CONV_FUSION
+        self._prev = _CONV_FUSION
+        _CONV_FUSION = False
+
+    def __exit__(self, *exc):
+        global _CONV_FUSION
+        _CONV_FUSION = self._prev
+
+
 def make_initializer(mode: str, scale: float, fan_in: int, fan_out: int):
     """Weight init distribution family used by ADM (explicit fan override:
     conv fans are in_ch*k*k, which differs from flax's defaults)."""
@@ -101,7 +125,7 @@ class Conv2d(nn.Module):
     init_bias: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_norm=None):
         assert not (self.up and self.down)
         if self.up:
             x = upsample2x_nearest(x)
@@ -115,15 +139,27 @@ class Conv2d(nn.Module):
         fan_out = self.features * k * k
         w_init = make_initializer(self.init_mode, self.init_weight, fan_in, fan_out)
         kernel = self.param("kernel", w_init, (k, k, in_ch, self.features))
+        bias = None
+        if self.use_bias:
+            b_init = make_initializer(self.init_mode, self.init_bias, fan_in, fan_out)
+            bias = self.param("bias", b_init, (self.features,))
+        if fused_norm is not None:
+            # fused conv3x3(silu(group_norm(x)*gamma+beta)): gamma/beta come
+            # folded from GroupNormSiLU(fold_only=True); one Pallas kernel on
+            # TPU, identical-math XLA elsewhere (pallas/fused_norm_conv.py)
+            from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
+
+            assert k == 3 and not self.up and not self.down
+            gamma, beta, num_groups, eps = fused_norm
+            return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
+                                      num_groups, eps)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(1, 1),
             padding=[(k // 2, k // 2), (k // 2, k // 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            b_init = make_initializer(self.init_mode, self.init_bias, fan_in, fan_out)
-            bias = self.param("bias", b_init, (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -222,7 +258,8 @@ class GroupNormSiLU(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, film_scale=None, film_shift=None):
+    def __call__(self, x, film_scale=None, film_shift=None,
+                 fold_only: bool = False):
         from m_cedm_tpu.pallas.fused_norm import fused_group_norm_silu
 
         c = x.shape[-1]
@@ -236,6 +273,10 @@ class GroupNormSiLU(nn.Module):
             fs = film_scale.astype(jnp.float32) + 1.0
             gamma = gamma * fs
             beta = beta * fs + film_shift.astype(jnp.float32)
+        if fold_only:
+            # hand the folded per-sample modulation to a fused norm+conv
+            # consumer (Conv2d(fused_norm=...)) — no compute here
+            return gamma, beta
         x2 = x.reshape(b, -1, c)
         out = fused_group_norm_silu(x2, gamma, beta, self.num_groups, self.eps)
         return out.reshape(x.shape).astype(x.dtype)

@@ -41,6 +41,7 @@ import numpy as np
 from m_cedm_tpu.config import register
 from m_cedm_tpu.data import masks as mask_lib
 from m_cedm_tpu.models import build_backbone
+from m_cedm_tpu.models.layers import disable_conv_fusion
 from m_cedm_tpu.ops import losses
 from m_cedm_tpu.ops.schedules import (
     alphas_cumprod_from_betas,
@@ -371,7 +372,8 @@ class McedmTask(DiffusionTaskBase):
             D_x = self.model_precond(params, x_noise, sigma, cond_in, dx=dx)
             return losses.noise_estimation_loss(D_x * mask, x * mask, weight)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        with disable_conv_fusion():
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return self._finish_step(state, grads, {"train_loss": loss})
 
     # --- sampling -----------------------------------------------------------
@@ -559,7 +561,9 @@ class DdimTask(DiffusionTaskBase):
                 loss = loss + self.pde_loss_lambda * pde
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        with disable_conv_fusion():
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
         return self._finish_step(state, grads, metrics)
 
     # --- samplers --------------------------------------------------------------
@@ -921,7 +925,9 @@ class CondDdimTask(DdimTask):
                 loss = loss + self.pde_loss_lambda * pde
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        with disable_conv_fusion():
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
         return self._finish_step(state, grads, metrics)
 
     # --- physics with conditioning as the known state ---------------------------
@@ -1187,7 +1193,9 @@ class CondEdmTask(CondDdimTask):
                 loss = loss + self.pde_loss_lambda * pde
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        with disable_conv_fusion():
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
         return self._finish_step(state, grads, metrics)
 
     def _cond_denoise_fn(self, params, cond, w: float, state=None):

@@ -208,3 +208,88 @@ class TestFusedAttention:
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=1e-3,
                                    atol=1e-4)
+
+
+class TestFusedNormConv:
+    """Fused GroupNorm+SiLU+Conv3x3 (pallas/fused_norm_conv.py)."""
+
+    def _inputs(self, B=2, H=32, W=16, C=32, O=48, seed=7):
+        rs = np.random.RandomState(seed)
+        x = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        return x, gamma, beta, w, bias
+
+    def test_reference_matches_composition(self):
+        """gn_silu_conv_reference == group_norm_silu_reference -> lax.conv."""
+        from m_cedm_tpu.pallas.fused_norm_conv import gn_silu_conv_reference
+
+        x, gamma, beta, w, bias = self._inputs()
+        b, h, wd, c = x.shape
+        y = group_norm_silu_reference(x.reshape(b, h * wd, c), gamma, beta,
+                                      G).reshape(b, h, wd, c)
+        expected = jax.lax.conv_general_dilated(
+            y, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = gn_silu_conv_reference(x, gamma, beta, w, bias, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        from m_cedm_tpu.pallas.fused_norm_conv import (fused_gn_silu_conv,
+                                                       gn_silu_conv_reference)
+
+        x, gamma, beta, w, bias = self._inputs(H=16, W=16)
+
+        def f(fn):
+            return lambda *a: jnp.sum(jnp.sin(fn(*a, G, 1e-5)))
+
+        g1 = jax.grad(f(fused_gn_silu_conv), argnums=(0, 1, 2, 3, 4))(
+            x, gamma, beta, w, bias)
+        g2 = jax.grad(f(gn_silu_conv_reference), argnums=(0, 1, 2, 3, 4))(
+            x, gamma, beta, w, bias)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_pallas_kernel_interpret_matches_reference(self):
+        """Row-tiled kernel with halo exchange (H=32 -> 2 tiles of R=16) in
+        interpret mode vs the reference composition."""
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        x, gamma, beta, w, bias = self._inputs(H=32, W=16)
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            fnc.pl.pallas_call = pl.pallas_call
+            out = fnc._pallas_gnsc(x, gamma, beta, w, bias, G, 1e-5)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+            fnc.pl.pallas_call = orig_call
+        ref = fnc.gn_silu_conv_reference(x, gamma, beta, w, bias, G, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-4)
+
+    def test_unet_block_fusion_toggle_same_outputs(self):
+        """A UNetBlock forward is identical with fusion enabled/disabled
+        (on CPU both route to the same reference math; this pins the module
+        plumbing: fold_only + Conv2d(fused_norm=...))."""
+        from m_cedm_tpu.models.adm_unet import UNetBlock
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        block = UNetBlock(out_channels=32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        params = block.init(jax.random.PRNGKey(2), x, emb)
+        out_fused = block.apply(params, x, emb)
+        with disable_conv_fusion():
+            out_unfused = block.apply(params, x, emb)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_unfused),
+                                   rtol=1e-5, atol=1e-6)
