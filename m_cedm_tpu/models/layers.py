@@ -177,7 +177,7 @@ class TorchConv2d(nn.Module):
     padding_mode: str = "zeros"  # or 'circular'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_norm=None):
         in_ch = x.shape[-1]
         k = self.kernel
         fan_in = in_ch * k * k
@@ -186,6 +186,24 @@ class TorchConv2d(nn.Module):
             "kernel",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_w, bound_w),
             (k, k, in_ch, self.features))
+        if fused_norm is not None:
+            # fused conv3x3(silu(group_norm(x)*gamma+beta)) — see Conv2d
+            from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
+
+            assert (k == 3 and self.stride == 1
+                    and self.padding == "same_torch"
+                    and self.padding_mode == "zeros")
+            bias = None
+            if self.use_bias:
+                bound_b = 1.0 / math.sqrt(fan_in)
+                bias = self.param(
+                    "bias",
+                    lambda key, shape: jax.random.uniform(
+                        key, shape, jnp.float32, -bound_b, bound_b),
+                    (self.features,))
+            gamma, beta, num_groups, eps = fused_norm
+            return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
+                                      num_groups, eps)
         if self.padding == "same_torch":
             pad = k // 2
             padding = [(pad, pad), (pad, pad)]
@@ -256,11 +274,15 @@ class GroupNormSiLU(nn.Module):
     """
     num_groups: int
     eps: float = 1e-5
+    # ADM measures faster with the Pallas kernels; the DDPM U-Net measures
+    # faster pure-XLA on this backend (ddpm_unet.py passes use_kernel=False)
+    use_kernel: bool = True
 
     @nn.compact
     def __call__(self, x, film_scale=None, film_shift=None,
                  fold_only: bool = False):
-        from m_cedm_tpu.pallas.fused_norm import fused_group_norm_silu
+        from m_cedm_tpu.pallas.fused_norm import (fused_group_norm_silu,
+                                                  group_norm_silu_reference)
 
         c = x.shape[-1]
         b = x.shape[0]
@@ -278,7 +300,8 @@ class GroupNormSiLU(nn.Module):
             # consumer (Conv2d(fused_norm=...)) — no compute here
             return gamma, beta
         x2 = x.reshape(b, -1, c)
-        out = fused_group_norm_silu(x2, gamma, beta, self.num_groups, self.eps)
+        fn = fused_group_norm_silu if self.use_kernel else group_norm_silu_reference
+        out = fn(x2, gamma, beta, self.num_groups, self.eps)
         return out.reshape(x.shape).astype(x.dtype)
 
 
