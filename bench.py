@@ -119,52 +119,55 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5):
     return _stats(train_ts), _stats(sps)
 
 
-def cost_analysis(task, state, batch):
-    """(train_flops, train_bytes, fwd_flops, fwd_bytes) via XLA; None on
-    backends without cost analysis."""
+def _ca(lowered):
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return ca
+
+
+def cost_analysis(task, task_off, state, batch):
+    """(train_flops, train_bytes, fwd_flops, fwd_bytes) via XLA.
+
+    `bytes accessed` comes from the production (kernel-bearing) graph of
+    `task`; `flops` from `task_off` (kernels disabled, identical math) —
+    XLA's cost analysis cannot see inside Pallas custom calls, so the
+    production graph under-reports flops. None on backends without cost
+    analysis.
+    """
+    from m_cedm_tpu.models.layers import disable_conv_fusion
+
+    task_off = task_off or task
+    rng = jax.random.PRNGKey(2)
+    x = jnp.ones((B, RES, RES, 2))
+    sig = jnp.full((B,), 1.5)
+    cond = jnp.zeros((B, RES, RES, 2))
+
+    def fwd_of(t):
+        return jax.jit(lambda p, x, s, c: t.model_precond(p, x, s, c))
+
     try:
-        lowered = type(task).train_step.lower(
-            task, state, batch, jax.random.PRNGKey(2))
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        tf, tb = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+        tb = float(_ca(type(task).train_step.lower(task, state, batch, rng)
+                       ).get("bytes accessed", 0))
+        fb = float(_ca(fwd_of(task).lower(state.params, x, sig, cond)
+                       ).get("bytes accessed", 0))
     except Exception:
-        tf = tb = None
+        tb = fb = None
+    prev_flag = os.environ.get("MCEDM_PALLAS")
+    os.environ["MCEDM_PALLAS"] = "0"  # pure-XLA traces: full flop counts
     try:
-        from m_cedm_tpu.models.layers import disable_conv_fusion
-
-        x = jnp.ones((B, RES, RES, 2))
-        sig = jnp.full((B,), 1.5)
-        cond = jnp.zeros((B, RES, RES, 2))
-
-        def fwd(params, x, sig, cond):
-            return task.model_precond(params, x, sig, cond)
-
-        # bytes from the production (fused) graph; flops from the unfused
-        # lowering of the identical math — XLA's cost analysis cannot see
-        # inside Pallas custom calls, so the fused graph under-reports flops
-        ca = jax.jit(fwd).lower(state.params, x, sig, cond).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        fb = float(ca.get("bytes accessed", 0))
-        prev_flag = os.environ.get("MCEDM_PALLAS")
-        os.environ["MCEDM_PALLAS"] = "0"  # pure-XLA trace: full flop count
-        try:
-            with disable_conv_fusion():
-                ca2 = (jax.jit(lambda *a: fwd(*a))
-                       .lower(state.params, x, sig, cond)
-                       .compile().cost_analysis())
-        finally:
-            if prev_flag is None:
-                os.environ.pop("MCEDM_PALLAS", None)
-            else:
-                os.environ["MCEDM_PALLAS"] = prev_flag
-        if isinstance(ca2, list):
-            ca2 = ca2[0]
-        ff = float(ca2.get("flops", 0))
+        with disable_conv_fusion():
+            tf = float(_ca(type(task_off).train_step.lower(
+                task_off, state, batch, rng)).get("flops", 0))
+            ff = float(_ca(fwd_of(task_off).lower(state.params, x, sig, cond)
+                           ).get("flops", 0))
     except Exception:
-        ff = fb = None
+        tf = ff = None
+    finally:
+        if prev_flag is None:
+            os.environ.pop("MCEDM_PALLAS", None)
+        else:
+            os.environ["MCEDM_PALLAS"] = prev_flag
     return tf, tb, ff, fb
 
 
@@ -185,9 +188,14 @@ def _probe_pallas():
         float(jnp.sum(fused_attention(x, x, x)))
         from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
 
-        x4 = jnp.ones((2, 8, 8, 64))
+        # probe at a flagship-like multi-tile shape: Mosaic failures on this
+        # backend are shape-dependent, so the probe must exercise the real
+        # H/W/C (halo BlockSpecs, (9C, O) weight block), not a toy 8x8
+        x4 = jnp.ones((1, RES, RES, 64))
+        g4 = jnp.ones((1, 64))
+        b4 = jnp.zeros((1, 64))
         w4 = jnp.ones((3, 3, 64, 64)) * 0.01
-        float(jnp.sum(fused_gn_silu_conv(x4, g, b, w4, None, 16)))
+        float(jnp.sum(fused_gn_silu_conv(x4, g4, b4, w4, None, 16)))
     except Exception as e:  # pragma: no cover - device-specific
         os.environ["MCEDM_PALLAS"] = "0"
         import sys
@@ -241,9 +249,10 @@ def main():
                                              roundtrip_s, n_train=5, n_sample=3)
         os.environ["MCEDM_PALLAS"] = "1"
     else:
+        task16_off = None
         t16o = s16o = None
 
-    tf, tb, ff, fb = cost_analysis(task16, state, batch)
+    tf, tb, ff, fb = cost_analysis(task16, task16_off, state, batch)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):

@@ -177,7 +177,7 @@ class TorchConv2d(nn.Module):
     padding_mode: str = "zeros"  # or 'circular'
 
     @nn.compact
-    def __call__(self, x, fused_norm=None):
+    def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel
         fan_in = in_ch * k * k
@@ -186,24 +186,6 @@ class TorchConv2d(nn.Module):
             "kernel",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_w, bound_w),
             (k, k, in_ch, self.features))
-        if fused_norm is not None:
-            # fused conv3x3(silu(group_norm(x)*gamma+beta)) — see Conv2d
-            from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
-
-            assert (k == 3 and self.stride == 1
-                    and self.padding == "same_torch"
-                    and self.padding_mode == "zeros")
-            bias = None
-            if self.use_bias:
-                bound_b = 1.0 / math.sqrt(fan_in)
-                bias = self.param(
-                    "bias",
-                    lambda key, shape: jax.random.uniform(
-                        key, shape, jnp.float32, -bound_b, bound_b),
-                    (self.features,))
-            gamma, beta, num_groups, eps = fused_norm
-            return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
-                                      num_groups, eps)
         if self.padding == "same_torch":
             pad = k // 2
             padding = [(pad, pad), (pad, pad)]

@@ -44,10 +44,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from m_cedm_tpu.pallas.fused_norm import (
-    MAX_TILE_ROWS,
     _compute_stats,
     _group_matrix,
     _mean_rstd,
+    _tile_rows,
     group_norm_silu_reference,
     pallas_enabled,
 )
@@ -147,7 +147,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps):
     n = h * wdt
     r = _row_tile(h, x.dtype)
     n_tiles = h // r
-    tile = min(n, MAX_TILE_ROWS)
+    tile = _tile_rows(n)  # guaranteed by _use_pallas
     sums, sumsq = _compute_stats(x.reshape(b, n, c), tile)
     gmat = jnp.asarray(_group_matrix(num_groups, c))
     w2 = w.astype(jnp.float32).reshape(9 * c, o)  # (dr, dw, C, O) row-major
@@ -189,8 +189,11 @@ def _use_pallas(x) -> bool:
     if not pallas_enabled():
         return False
     b, h, wdt, c = x.shape
+    # _tile_rows(h*w) must divide evenly or the stats kernel's sequential
+    # grid drops the remainder rows — silently wrong statistics (the same
+    # guard fused_norm.py applies to this kernel)
     return (_row_tile(h, x.dtype) > 0 and wdt >= 8 and wdt % 8 == 0
-            and c % 8 == 0)
+            and c % 8 == 0 and _tile_rows(h * wdt) is not None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

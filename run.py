@@ -130,9 +130,13 @@ def main(argv=None) -> float:
         task.set_pde_loss_function(cfg.system, datamodule.flip_xy)
 
     ckpt_path = cfg.get("ckpt_path")
-    # override_epochs (reference run.py:78-80): on resume, the composed
-    # config's max_epochs wins over whatever the trainer was built with, so a
-    # resumed run extends to the newly-requested epoch count.
+    # override_epochs (reference run.py:78-80). Parity note: in the
+    # reference this guard is dead code — trainer.max_epochs is constructed
+    # from cfg.trainer.max_epochs, so the `<` comparison can never be true —
+    # and the same holds here. The *behavior* the flag guards (a resumed run
+    # trains on to the newly-configured max_epochs) happens unconditionally
+    # in both frameworks and is pinned by
+    # tests/test_cli.py::test_resume_override_epochs.
     cfg_epochs = int(cfg.trainer.get("max_epochs", trainer.max_epochs))
     if (cfg.get("override_epochs", False) and ckpt_path is not None
             and trainer.max_epochs < cfg_epochs):

@@ -135,7 +135,11 @@ def run_sweep(config_name: str, config_path: str, constants: List[str],
     if sampler == "tpe":
         try:
             import optuna
-
+        except ImportError:
+            optuna = None  # only the import lives in the try: an
+            # ImportError raised *inside a trial* must propagate, not
+            # silently restart the sweep on the vendored sampler
+        if optuna is not None:
             ostudy = optuna.create_study(
                 direction="minimize",
                 sampler=optuna.samplers.TPESampler(seed=seed))
@@ -158,7 +162,7 @@ def run_sweep(config_name: str, config_path: str, constants: List[str],
             ostudy.optimize(obj, n_trials=n_trials)
             best_value = ostudy.best_value
             best_params = {k: _format(v) for k, v in ostudy.best_params.items()}
-        except ImportError:
+        else:
             log.info("optuna not installed; using the vendored TPE sampler "
                      "(m_cedm_tpu/tpe.py)")
             tpe = TPESampler(space, seed=seed)

@@ -293,3 +293,17 @@ class TestFusedNormConv:
         np.testing.assert_allclose(np.asarray(out_fused),
                                    np.asarray(out_unfused),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_use_pallas_gate_requires_divisible_stats_tile(self, monkeypatch):
+        """Regression (round-2 review): H*W not divisible by the 2048-row
+        stats tile must fall back — the stats kernel's sequential grid would
+        silently drop the remainder rows (wrong mean/rstd)."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        ok = jnp.zeros((1, 128, 128, 64))
+        assert fnc._use_pallas(ok)
+        bad = jnp.zeros((1, 48, 48, 16))  # n = 2304, 2304 % 2048 = 256
+        assert not fnc._use_pallas(bad)
+        small = jnp.zeros((1, 16, 16, 32))  # n = 256 <= 2048 and divides
+        assert fnc._use_pallas(small)
