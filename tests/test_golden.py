@@ -471,3 +471,82 @@ class TestOformerGolden:
         assert out_t.shape == out_j.shape
         delta = np.abs(out_t - out_j).max()
         assert delta <= 1e-3, f"OFormer encoder delta {delta}"
+
+    def test_decoder_parity(self, reference):
+        """IrregSTDecoder: GFFT coordinate queries, CrossFormer, mix layer,
+        latent propagate rollout + decode (oformer.py:824-924)."""
+        from models.oformer import IrregSTDecoder as TorchDec
+        from m_cedm_tpu.models.oformer import (IrregSTDecoder,
+                                               OformerDecoderConfig)
+
+        lc = 32
+        hp = Dot.wrap(dict(max_node_type=2, latent_channels=lc, out_channels=1,
+                           res=16, scale=2.0, dropout=0.0, relative_emb_dim=2))
+        torch.manual_seed(0)
+        tnet = TorchDec(hp).eval()
+        jnet = IrregSTDecoder(OformerDecoderConfig.from_hparams(hp))
+
+        b, n, steps = 2, 64, 3
+        rng = np.random.default_rng(6)
+        z = rng.normal(size=(b, n, lc)).astype(np.float32)
+        pos = rng.uniform(0, 16, size=(b, n, 2)).astype(np.float32)
+        node_type = np.zeros((b, n, 1), np.int32)
+        node_type[:, 0] = 1
+
+        variables = jnet.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                              jnp.asarray(pos), jnp.asarray(node_type),
+                              steps, jnp.asarray(pos))
+        tree = _deep_dict(variables)
+        sd = tnet.state_dict()
+        p = tree["params"]
+        tree["constants"]["fourier_features"]["B"] = jnp.asarray(
+            t2n(sd["coordinate_projection.0._B"]))
+        p["node_type_embedding"]["embedding"] = jnp.asarray(
+            t2n(sd["node_type_embedding.weight"]))
+        p["coord_proj0"]["kernel"] = jnp.asarray(linear_w(sd["coordinate_projection.1.weight"]))
+        p["coord_proj1"]["kernel"] = jnp.asarray(linear_w(sd["coordinate_projection.3.weight"]))
+        p["combine_layer"]["kernel"] = jnp.asarray(linear_w(sd["combine_layer.weight"]))
+        ca = p["decoding_transformer"]["cross_attn"]
+        ca["to_q"]["kernel"] = jnp.asarray(
+            linear_w(sd["decoding_transformer.cross_attn_module.to_q.weight"]))
+        ca["to_kv"]["kernel"] = jnp.asarray(
+            linear_w(sd["decoding_transformer.cross_attn_module.to_kv.weight"]))
+        ca["to_out"]["kernel"] = jnp.asarray(
+            linear_w(sd["decoding_transformer.cross_attn_module.to_out.0.weight"]))
+        ca["to_out"]["bias"] = jnp.asarray(
+            t2n(sd["decoding_transformer.cross_attn_module.to_out.0.bias"]))
+        ffn = p["decoding_transformer"]["ffn"]
+        ffn["Dense_0"]["kernel"] = jnp.asarray(
+            linear_w(sd["decoding_transformer.ffn.net.0.weight"]))
+        ffn["Dense_0"]["bias"] = jnp.asarray(
+            t2n(sd["decoding_transformer.ffn.net.0.bias"]))
+        ffn["Dense_1"]["kernel"] = jnp.asarray(
+            linear_w(sd["decoding_transformer.ffn.net.3.weight"]))
+        ffn["Dense_1"]["bias"] = jnp.asarray(
+            t2n(sd["decoding_transformer.ffn.net.3.bias"]))
+        p["mix_layer"]["to_qkv"]["kernel"] = jnp.asarray(
+            linear_w(sd["mix_layer.to_qkv.weight"]))
+        p["expand_layer"]["kernel"] = jnp.asarray(linear_w(sd["expand_layer.weight"]))
+        p["prop_norm"]["scale"] = jnp.asarray(t2n(sd["propagator.0.0.weight"]))
+        p["prop_norm"]["bias"] = jnp.asarray(t2n(sd["propagator.0.0.bias"]))
+        for i, idx in enumerate((0, 2, 4, 6)):
+            p[f"prop_mlp{i}"]["kernel"] = jnp.asarray(
+                linear_w(sd[f"propagator.0.1.{idx}.weight"]))
+        p["out_norm"]["scale"] = jnp.asarray(t2n(sd["out_norm.weight"]))
+        p["out_norm"]["bias"] = jnp.asarray(t2n(sd["out_norm.bias"]))
+        for i, idx in enumerate((0, 2, 4)):
+            p[f"to_out{i}"]["kernel"] = jnp.asarray(
+                linear_w(sd[f"to_out.{idx}.weight"]))
+        p["to_out2"]["bias"] = jnp.asarray(t2n(sd["to_out.4.bias"]))
+
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(z), torch.from_numpy(pos),
+                         torch.from_numpy(node_type).long(), steps,
+                         torch.from_numpy(pos))
+        out_t = t2n(out_t)
+        out_j = np.asarray(jnet.apply(tree, jnp.asarray(z), jnp.asarray(pos),
+                                      jnp.asarray(node_type), steps,
+                                      jnp.asarray(pos)))
+        assert out_t.shape == out_j.shape, (out_t.shape, out_j.shape)
+        delta = np.abs(out_t - out_j).max()
+        assert delta <= 1e-3, f"OFormer decoder delta {delta}"
