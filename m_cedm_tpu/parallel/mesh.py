@@ -81,3 +81,18 @@ def replicate(tree, mesh: Optional[Mesh]):
     if mesh is None:
         return jax.device_put(tree)
     return jax.device_put(tree, replicated(mesh))
+
+
+def shard_ensemble(keys, mesh: Optional[Mesh], axis: str = "data"):
+    """Split an ensemble of PRNG keys over the mesh (SURVEY §2.9 headroom:
+    the n_samples test ensemble is the natural extra parallel axis of this
+    workload — the reference folds it into the batch).
+
+    A `vmap(draw)` over the returned keys runs SPMD: with state replicated,
+    XLA partitions the whole sampler over the ensemble axis and each device
+    draws its members — no collectives until the ensemble reduction.
+    Requires len(keys) % mesh.shape[axis] == 0 (callers fall back to the
+    unsharded path otherwise)."""
+    if mesh is None or keys.shape[0] % mesh.shape[axis] != 0:
+        return keys
+    return jax.device_put(keys, NamedSharding(mesh, P(axis)))

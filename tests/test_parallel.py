@@ -77,6 +77,38 @@ class TestMesh:
         assert out.shape == (8, 1, RES, RES, 2)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_sampling_sharded_over_ensemble(self):
+        """SURVEY §2.9 headroom: at test_batch_size=1 / large n_samples the
+        n_samples ensemble is the parallel axis — shard the PRNG keys over
+        the mesh and vmap; results must equal the single-device ensemble."""
+        from m_cedm_tpu.parallel.mesh import shard_ensemble
+
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        cond = jnp.zeros((1, RES, RES, 2))
+        mask = jnp.concatenate([jnp.zeros((1, RES, RES, 1)),
+                                jnp.ones((1, RES, RES, 1))], axis=-1)
+        sp = dict(task.test_sparams, timesteps=4)
+
+        def draw(k):
+            return task.sample_edm(state, cond, mask, k, sp)[:, -1]
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 8)
+        ref = jax.vmap(draw)(keys)
+
+        mesh = make_mesh()
+        state_m = replicate(state, mesh)
+
+        def draw_m(k):
+            return task.sample_edm(state_m, cond, mask, k, sp)[:, -1]
+
+        keys_m = shard_ensemble(keys, mesh)
+        assert keys_m.sharding == batch_sharding(mesh)
+        out = jax.jit(jax.vmap(draw_m))(keys_m)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestTrainerLoop:
     @pytest.fixture()
