@@ -229,6 +229,52 @@ class TestAdmGolden:
         scale = np.abs(out_t).max()
         assert delta <= 1e-3, f"ADM forward delta {delta} (scale {scale})"
 
+    def test_cond_encoder_variant_parity(self, reference):
+        """cat_cond=False routes conditioning through the two-conv GELU
+        encoder + combine conv (adm_blocks.py:255-280, 345-363); dx through
+        dx_enc. Ported-weight parity for that whole path."""
+        import yaml
+        from models.adm_blocks import DhariwalUNet
+
+        with open(f"{REFERENCE}/configs/model/adm_edm_mcedm_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        for hp in (cfg["hparams"],):
+            hp["model"].update(resolution=16, attn_resolutions=[8],
+                               cat_cond=False, dx_cond=True, cat_dx=False)
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(1)
+        tnet = DhariwalUNet(hp_t).eval()
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.models import build_backbone
+
+        hp_j = to_dotdict(cfg["hparams"])
+        jnet, _ = build_backbone({"name": "adm_edm_mcedm",
+                                  "model": hp_j["model"],
+                                  "data": hp_j["data"],
+                                  "optimization": hp_j["optimization"]})
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(2, 16, 16, 2)).astype(np.float32)
+        cond = rng.normal(size=(2, 16, 16, 2)).astype(np.float32)
+        dx = rng.normal(size=(2, 16, 16, 2)).astype(np.float32)
+        c_noise = np.asarray([0.2, -0.3], np.float32)
+        params = jnet.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(c_noise), jnp.asarray(cond),
+                           dx=jnp.asarray(dx))
+        params = port_adm(tnet.state_dict(), params)
+
+        with torch.no_grad():
+            out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         torch.from_numpy(c_noise),
+                         cond=torch.from_numpy(cond.transpose(0, 3, 1, 2)),
+                         dx=torch.from_numpy(dx.transpose(0, 3, 1, 2)))
+        out_t = t2n(out_t).transpose(0, 2, 3, 1)
+        out_j = np.asarray(jnet.apply(params, jnp.asarray(x),
+                                      jnp.asarray(c_noise), jnp.asarray(cond),
+                                      dx=jnp.asarray(dx)))
+        delta = np.abs(out_t - out_j).max()
+        assert delta <= 1e-3, f"ADM cond-encoder variant delta {delta}"
+
     def test_cond_none_parity(self, pair):
         """cond=None path: zero-filled conditioning (adm_blocks.py:330-333)."""
         tnet, jnet, params = pair
