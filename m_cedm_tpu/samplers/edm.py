@@ -155,12 +155,14 @@ def _heun_step(denoise_fn, guidance_fn, x_hat, t_hat, t_next, is_last, key,
 
 def heun_sample_masked(denoise_fn: Callable, key, known, mask,
                        schedule: EdmSchedule, guidance_fn=None,
-                       return_last: bool = True):
+                       return_last: bool = True, init_noise=None):
     """Mixed-conditional Heun sampler: the observed region (mask == 0) is held
     at its clean known values; churn noise and Heun updates apply only where
-    mask == 1. known/mask: (B, H, W, C)."""
+    mask == 1. known/mask: (B, H, W, C). init_noise overrides the initial
+    Gaussian draw (cross-framework parity tests inject matched noise)."""
     k_init, k_loop = jax.random.split(key)
-    noise = jax.random.normal(k_init, known.shape, jnp.float32)
+    noise = (jax.random.normal(k_init, known.shape, jnp.float32)
+             if init_noise is None else jnp.asarray(init_noise, jnp.float32))
     x0 = noise * schedule.t_cur[0]
     x0 = known * (1.0 - mask) + x0 * mask
 

@@ -290,6 +290,83 @@ class TestAdmGolden:
         assert np.abs(out_t - out_j).max() <= 1e-3
 
 
+class TestEndToEndSamplingGolden:
+    def test_mcedm_heun_sampling_parity(self, reference):
+        """North-star metric 3 (BASELINE.md): the FULL mcedm inference path —
+        EDM preconditioning + known-part-clamped Heun loop — must match the
+        reference end-to-end under ported weights and matched initial noise
+        (S_churn=0 so the init draw is the only randomness; the reference
+        loop runs in float64, ours in float32 on-device)."""
+        import yaml
+
+        from models.mcedm import PlMcedm
+
+        with open(f"{REFERENCE}/configs/model/adm_edm_mcedm_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["hparams"]["model"]["resolution"] = 32
+        cfg["hparams"]["model"]["attn_resolutions"] = [8]
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(0)
+        tmodel = PlMcedm(hp_t).eval()
+
+        b, res = 2, 32
+        rng = np.random.default_rng(8)
+        gt = rng.normal(size=(b, res, res, 2)).astype(np.float32)
+        mask = np.zeros((b, res, res, 2), np.float32)
+        mask[..., 1] = 1.0  # u unobserved
+        cond = (gt * (1 - mask)).astype(np.float32)
+
+        sp = Dot.wrap(dict(type="edm", timesteps=8, sigma_min=0.002,
+                           sigma_max=80, rho=7, S_churn=0.0, S_min=0,
+                           S_max="inf", S_noise=1, w=0.0))
+        hu_c = torch.from_numpy(gt.transpose(0, 3, 1, 2))
+        cond_c = torch.from_numpy(cond.transpose(0, 3, 1, 2))
+        mask_c = torch.from_numpy(mask.transpose(0, 3, 1, 2))
+        tmodel.h_ch = tmodel.u_ch = 1
+        torch.manual_seed(123)
+        with torch.no_grad():
+            xs_t = tmodel.sample_edm(hu_c, cond_c, mask_c, sp,
+                                     return_last=True)
+        out_t = t2n(xs_t[:, -1])
+        # reproduce the initial draw (the only RNG that affects the output)
+        torch.manual_seed(123)
+        noise0 = t2n(torch.randn_like(hu_c)).transpose(0, 2, 3, 1)
+
+        # --- ours, with the reference net's weights ported ----------------
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.samplers import edm as edm_samplers
+        from m_cedm_tpu.tasks import McedmTask
+
+        hp_j = to_dotdict(cfg["hparams"])
+        task = McedmTask({"name": "adm_edm_mcedm", "model": hp_j["model"],
+                          "data": hp_j["data"],
+                          "optimization": hp_j["optimization"],
+                          "sampler": hp_j["sampler"]})
+        params0 = task.model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, res, res, 2)), jnp.ones((1,)),
+                                  jnp.zeros((1, res, res, 2)))
+        params = port_adm(tmodel.model.state_dict(), params0)
+
+        schedule = edm_samplers.make_edm_schedule(
+            num_steps=8, sigma_min=0.002, sigma_max=80.0, rho=7.0,
+            S_churn=0.0)
+        denoise = task._make_denoise_fn(params, jnp.asarray(cond), 0.0)
+        xs_j = edm_samplers.heun_sample_masked(
+            denoise, jax.random.PRNGKey(0), jnp.asarray(cond),
+            jnp.asarray(mask), schedule, return_last=True,
+            init_noise=jnp.asarray(noise0))
+        out_j = np.asarray(xs_j[:, -1])
+
+        assert out_t.shape == out_j.shape
+        mean_abs = np.abs(out_t - out_j).mean()
+        mse_delta = abs(((out_t - gt) ** 2).mean() - ((out_j - gt) ** 2).mean())
+        assert mean_abs <= 1e-3, f"end-to-end sampling mean-abs {mean_abs}"
+        assert mse_delta <= 1e-3, f"recovery-MSE delta {mse_delta}"
+        assert np.abs(out_t - out_j).max() <= 5e-3
+        # the observed channel is clamped identically in both frameworks
+        np.testing.assert_allclose(out_j[..., 0], gt[..., 0], atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # DDPM U-Net ("Model")
 # ---------------------------------------------------------------------------
