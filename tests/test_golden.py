@@ -462,6 +462,69 @@ class TestDdpmGolden:
         assert delta <= 1e-3, f"DDPM forward delta {delta}"
 
 
+class TestCondDdimSamplingGolden:
+    def test_cond_ddim_sampling_parity(self, reference):
+        """Conditional DDIM sampling (eta=0, deterministic given the initial
+        noise): reference PlCondDdim.sample vs our scan sampler under ported
+        DDPM-net weights and the same injected x_T (ddim.py:1452-1530)."""
+        import yaml
+
+        from models.ddim import PlCondDdim
+
+        with open(f"{REFERENCE}/configs/model/ddim_cond_h_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["hparams"]["model"]["resolution"] = 32
+        cfg["hparams"]["model"]["attn_resolutions"] = [16]
+        cfg["hparams"]["model"]["self_cond"] = False
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(0)
+        tmodel = PlCondDdim(hp_t).eval()
+
+        b, res = 2, 32
+        rng = np.random.default_rng(9)
+        h_cond = rng.normal(size=(b, res, res, 1)).astype(np.float32)
+        u_noise = rng.normal(size=(b, res, res, 1)).astype(np.float32)
+        sp = Dot.wrap(dict(type="ddim", timesteps=10, skip_type="uniform",
+                           eta=0.0, w=0.0))
+        with torch.no_grad():
+            xs_t, _ = tmodel.sample(torch.from_numpy(h_cond),
+                                    torch.from_numpy(u_noise), sp,
+                                    return_last=True)
+        out_t = t2n(xs_t[:, -1])
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.samplers import ddim as ddim_samplers
+        from m_cedm_tpu.tasks import CondDdimTask
+
+        hp_j = to_dotdict(cfg["hparams"])
+        task = CondDdimTask({"name": "ddim_cond_h", "model": hp_j["model"],
+                             "data": hp_j["data"],
+                             "diffusion": hp_j["diffusion"],
+                             "optimization": hp_j["optimization"],
+                             "sampler": hp_j["sampler"]})
+        params0 = task.model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, res, res, 1)), jnp.ones((1,)),
+                                  jnp.zeros((1, res, res, 1)))
+        params = port_ddpm(tmodel.model.state_dict(), params0)
+
+        schedule = ddim_samplers.make_ddim_schedule(
+            task.alphas_cumprod, 10, "uniform", 0.0)
+        eps = task._cond_eps_fn(params, jnp.asarray(h_cond), 0.0)
+        xs_j = ddim_samplers.ddim_sample_cond(
+            eps, jax.random.PRNGKey(0), (b, res, res, 1), schedule,
+            self_condition=False, return_last=True,
+            init_noise=jnp.asarray(u_noise))
+        out_j = np.asarray(xs_j[:, -1])
+
+        assert out_t.shape == out_j.shape, (out_t.shape, out_j.shape)
+        # untrained-net DDIM trajectories are amplified by 1/sqrt(a_t) ~ 100
+        # (|out| ~ 240 here), so parity is relative to the output scale
+        delta = np.abs(out_t - out_j).max()
+        scale = np.abs(out_t).max()
+        assert delta <= 1e-3 * scale, (
+            f"cond DDIM sampling rel delta {delta / scale} (abs {delta})")
+
+
 # ---------------------------------------------------------------------------
 # FNO
 # ---------------------------------------------------------------------------
