@@ -592,6 +592,83 @@ class TestFnoGolden:
         assert np.abs(out_t - out_j).max() <= 1e-3
 
 
+class TestDataGolden:
+    """Data layer vs the reference's own HDF5Dataset on the same h5 file
+    (datamodules/h5_dataset.py:14-188): normalization, flip_xy, theta/IC
+    channels, coordinate modes, and down_factor interpolation."""
+
+    @pytest.fixture(scope="class")
+    def h5path(self, reference, tmp_path_factory):
+        from m_cedm_tpu.data.synthetic import write_swe_dataset
+
+        path = str(tmp_path_factory.mktemp("golden_h5") / "d.h5")
+        write_swe_dataset(path, jax.random.PRNGKey(3), 4, 16, 16)
+        return path
+
+    def _pair(self, h5path, **kw):
+        from datamodules.h5_dataset import HDF5Dataset as TorchDS
+
+        from m_cedm_tpu.data.datamodule import HDF5Datamodule
+
+        dm = HDF5Datamodule(train_path=h5path, val_path=h5path,
+                            test_path=h5path, batch_size=1, **kw)
+        tds = TorchDS(h5path,
+                      return_abs_coords=kw.get("return_abs_coords", False),
+                      return_grid=kw.get("return_grid", False),
+                      input_mean=np.asarray(dm.input_mean),
+                      input_std=np.asarray(dm.input_std),
+                      target_mean=np.asarray(dm.target_mean),
+                      target_std=np.asarray(dm.target_std),
+                      norm_x=kw.get("norm_x", False),
+                      norm_t=kw.get("norm_t", False),
+                      norm_input=kw.get("norm_input", True),
+                      norm_target=kw.get("norm_target", True),
+                      flip_xy=kw.get("flip_xy", False),
+                      use_theta=kw.get("use_theta", False),
+                      use_tar_ic=kw.get("use_tar_ic", False),
+                      down_factor=kw.get("down_factor", 1),
+                      down_interp=kw.get("down_interp", True))
+        return dm, tds
+
+    def _compare(self, dm, tds, atol=1e-5):
+        arrays = dm._prepare("test")
+        for i in range(len(tds)):
+            ref = [t2n(t) for t in tds[i]]
+            inp, ca, cb, target = arrays.batch(np.asarray([i]))
+            np.testing.assert_allclose(np.asarray(inp)[0], ref[0], atol=atol,
+                                       rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(target)[0], ref[3],
+                                       atol=atol, rtol=1e-4)
+            for ours_c, ref_c in ((ca, ref[1]), (cb, ref[2])):
+                np.testing.assert_allclose(np.squeeze(np.asarray(ours_c)),
+                                           np.squeeze(ref_c), atol=atol,
+                                           rtol=1e-4)
+
+    def test_abs_coords_grid_normalized(self, h5path):
+        dm, tds = self._pair(h5path, return_abs_coords=True, return_grid=True,
+                             norm_x=True, norm_t=True)
+        self._compare(dm, tds)
+
+    def test_flip_xy_rel_coords(self, h5path):
+        dm, tds = self._pair(h5path, flip_xy=True)
+        self._compare(dm, tds)
+
+    def test_theta_and_target_ic_channels(self, h5path):
+        dm, tds = self._pair(h5path, use_theta=True, use_tar_ic=True,
+                             return_abs_coords=True)
+        self._compare(dm, tds)
+
+    def test_down_factor_interp(self, h5path):
+        dm, tds = self._pair(h5path, down_factor=2, down_interp=True,
+                             return_abs_coords=True)
+        self._compare(dm, tds, atol=1e-4)
+
+    def test_down_factor_coarse(self, h5path):
+        dm, tds = self._pair(h5path, down_factor=2, down_interp=False,
+                             return_abs_coords=True)
+        self._compare(dm, tds, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # OFormer encoder (Galerkin linear attention + RoPE)
 # ---------------------------------------------------------------------------
