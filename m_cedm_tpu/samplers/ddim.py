@@ -29,11 +29,19 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class DdimSchedule:
-    """Per-(reversed)-step constants: timestep index, alpha_bar pairs."""
+    """Per-(reversed)-step constants: timestep index, alpha_bar pairs.
+
+    a_init: alpha_bar at the LAST training timestep (T-1), used to noise the
+    known field at initialization. The reference noises with
+    `a[total_noise_levels - 1]` (ddim.py:735, 841-843) — i.e. abar(999), NOT
+    abar(seq[-1]); with 50 uniform steps those differ (abar(980) vs abar(999)).
+    None falls back to at[0] for hand-built schedules.
+    """
     t: np.ndarray        # (N,) int timestep fed to the net
     at: np.ndarray       # (N,) alpha_bar(t)
     at_next: np.ndarray  # (N,) alpha_bar(t_next), with alpha_bar(-1) = 1
     eta: float
+    a_init: Optional[float] = None
 
     @property
     def num_steps(self) -> int:
@@ -58,7 +66,8 @@ def make_ddim_schedule(alphas_cumprod: np.ndarray, timesteps: int,
     at = ext[np.asarray(list(reversed(seq)), np.int64) + 1]
     at_next = ext[np.asarray(list(reversed(seq_next)), np.int64) + 1]
     return DdimSchedule(t=t, at=at.astype(np.float32),
-                        at_next=at_next.astype(np.float32), eta=float(eta))
+                        at_next=at_next.astype(np.float32), eta=float(eta),
+                        a_init=float(ext[-1]))
 
 
 def _ddim_update(x0_t, et, at, at_next, eta, key, shape):
@@ -110,18 +119,21 @@ def ddim_sample_cond(eps_fn: Callable, key, shape, schedule: DdimSchedule,
 def ddim_sample_repaint(eps_fn: Callable, key, known, mask,
                         schedule: DdimSchedule, n_repeat: int = 1,
                         self_condition: bool = False, guidance_fn=None,
-                        return_last: bool = True):
+                        return_last: bool = True, init_noise=None):
     """RePaint-style conditional inpainting with an unconditional joint model.
 
     known: clean (B, H, W, C); mask: 1 = observed (clamped), 0 = free.
     Each outer DDIM step runs n_repeat harmonization rounds: denoise, clamp
     the known part of x0, re-noise back to level t; the final round proceeds
     to t_next and the known part is re-inserted at the t_next noise level.
+    init_noise overrides the single Gaussian draw (the reference's hu_noise,
+    ddim.py:836) for cross-framework parity tests.
     """
     k_noise, k_loop = jax.random.split(key)
-    noise = jax.random.normal(k_noise, known.shape, jnp.float32)
+    noise = (jax.random.normal(k_noise, known.shape, jnp.float32)
+             if init_noise is None else jnp.asarray(init_noise, jnp.float32))
 
-    a_T = schedule.at[0]
+    a_T = schedule.a_init if schedule.a_init is not None else schedule.at[0]
     known_T = known * jnp.sqrt(a_T) + noise * jnp.sqrt(1.0 - a_T)
     x = known_T * mask + noise * (1.0 - mask)
 
@@ -164,20 +176,25 @@ def ddim_sample_repaint(eps_fn: Callable, key, known, mask,
 
 def ddim_sample_joint_h(eps_fn: Callable, key, h, schedule: DdimSchedule,
                         h_ch: int = 1, self_condition: bool = False,
-                        guidance_fn=None, return_last: bool = True):
+                        guidance_fn=None, return_last: bool = True,
+                        h_noise=None, u_noise=None):
     """Joint-model DDIM where the h channel block rides a fixed noisy
     trajectory of the known field and only u is truly denoised.
 
     h: clean (B, H, W, h_ch). The state is [h_t | u] channel-concat; after
     each DDIM update the h block is overwritten with
-    sqrt(at_next) * h + sqrt(1 - at_next) * h_noise.
+    sqrt(at_next) * h + sqrt(1 - at_next) * h_noise. The reference takes the
+    initial u noise as an argument and draws h_noise internally
+    (ddim.py:706,728); both are injectable here for parity tests.
     """
     k_h, k_u, k_loop = jax.random.split(key, 3)
-    h_noise = jax.random.normal(k_h, h.shape, jnp.float32)
+    if h_noise is None:
+        h_noise = jax.random.normal(k_h, h.shape, jnp.float32)
     u_shape = h.shape  # joint model: u block mirrors h block shape
-    u_noise = jax.random.normal(k_u, u_shape, jnp.float32)
+    if u_noise is None:
+        u_noise = jax.random.normal(k_u, u_shape, jnp.float32)
 
-    a_T = schedule.at[0]
+    a_T = schedule.a_init if schedule.a_init is not None else schedule.at[0]
     h_t0 = h * jnp.sqrt(a_T) + h_noise * jnp.sqrt(1.0 - a_T)
     x = jnp.concatenate([h_t0, u_noise], axis=-1)
 

@@ -237,7 +237,8 @@ def heun_sample_cond(denoise_fn: Callable, key, shape,
 
 def heun_sample_repaint(denoise_fn: Callable, key, known, mask,
                         schedule: EdmSchedule, n_repeat: int = 1,
-                        guidance_fn=None, return_last: bool = True):
+                        guidance_fn=None, return_last: bool = True,
+                        init_noise=None):
     """Joint-model Heun loop with RePaint harmonization: after each Heun step
     the known region (mask == 1 observed — note the reference's hu_mask is
     *1 for known* here, inverted vs the mcedm mask) is re-inserted at the
@@ -248,7 +249,8 @@ def heun_sample_repaint(denoise_fn: Callable, key, known, mask,
     """
     assert schedule.alpha_next is not None, "repaint needs a DDPM alpha table"
     k_noise, k_loop = jax.random.split(key)
-    hu_noise = jax.random.normal(k_noise, known.shape, jnp.float32)
+    hu_noise = (jax.random.normal(k_noise, known.shape, jnp.float32)
+                if init_noise is None else jnp.asarray(init_noise, jnp.float32))
 
     a0 = jnp.float32(schedule.alpha_t0)
     known_t0 = known * jnp.sqrt(a0) + hu_noise * jnp.sqrt(1.0 - a0)

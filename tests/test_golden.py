@@ -813,3 +813,260 @@ class TestOformerGolden:
         assert out_t.shape == out_j.shape, (out_t.shape, out_j.shape)
         delta = np.abs(out_t - out_j).max()
         assert delta <= 1e-3, f"OFormer decoder delta {delta}"
+
+
+# ---------------------------------------------------------------------------
+# Joint-model (PlDdim) sampling paths: RePaint DDIM, joint-h DDIM, DDPM-as-EDM
+# ---------------------------------------------------------------------------
+
+class TestJointSamplingGolden:
+    """Cross-framework parity for the three PlDdim samplers under ported
+    DDPM-net weights and matched injected noise. With eta=0 / S_churn=0 /
+    self_cond=False the single hu_noise (h_noise, u_noise) draw is the only
+    randomness, so trajectories are deterministic given the injected noise."""
+
+    B, RES, STEPS = 2, 32, 10
+
+    @pytest.fixture(scope="class")
+    def pair(self, reference):
+        import yaml
+
+        from models.ddim import PlDdim
+
+        with open(f"{REFERENCE}/configs/model/ddim_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["hparams"]["model"].update(resolution=self.RES,
+                                       attn_resolutions=[16],
+                                       self_cond=False, ema=False)
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(0)
+        tmodel = PlDdim(hp_t).eval()
+        tmodel.h_ch = tmodel.u_ch = 1
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.tasks import DdimTask
+
+        hp_j = to_dotdict(cfg["hparams"])
+        task = DdimTask({"name": "ddim", "model": hp_j["model"],
+                         "data": hp_j["data"], "diffusion": hp_j["diffusion"],
+                         "optimization": hp_j["optimization"],
+                         "sampler": hp_j["sampler"]})
+        params0 = task.model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, self.RES, self.RES, 2)),
+                                  jnp.ones((1,)), None)
+        params = port_ddpm(tmodel.model.state_dict(), params0)
+        return tmodel, task, params
+
+    def _fields(self, seed):
+        rng = np.random.default_rng(seed)
+        h = rng.normal(size=(self.B, self.RES, self.RES, 1)).astype(np.float32)
+        u = rng.normal(size=(self.B, self.RES, self.RES, 1)).astype(np.float32)
+        return h, u
+
+    def _rel_assert(self, out_t, out_j, label):
+        assert out_t.shape == out_j.shape, (out_t.shape, out_j.shape)
+        delta = np.abs(out_t - out_j).max()
+        scale = np.abs(out_t).max()
+        assert delta <= 1e-3 * max(scale, 1.0), (
+            f"{label} rel delta {delta / scale} (abs {delta}, scale {scale})")
+
+    def test_repaint_ddim_parity(self, pair):
+        """PlDdim.sample_with_repeat (ddim.py:808-913) vs ddim_sample_repaint:
+        n_repeat harmonization, known-part renoising with abar(T-1) init."""
+        from m_cedm_tpu.samplers import ddim as ddim_samplers
+
+        tmodel, task, params = pair
+        h, u = self._fields(11)
+        sp = Dot.wrap(dict(type="ddim", timesteps=self.STEPS,
+                           skip_type="uniform", eta=0.0, w=0.0, n_repeat=2,
+                           n_time_h=16, n_time_u=8))
+        torch.manual_seed(5)
+        with torch.no_grad():
+            xs_t, _ = tmodel.sample_with_repeat(
+                torch.from_numpy(h), torch.from_numpy(u), sp, return_last=True)
+        out_t = t2n(xs_t[:, -1])
+
+        # reproduce the single randn_like draw: hu is an einops-permuted
+        # (channels-last) view and torch's normal_ fill order depends on the
+        # memory format, so replicate with randn_like on an identically
+        # strided tensor
+        hu_nchw = torch.from_numpy(
+            np.concatenate([h, u], -1).transpose(0, 3, 1, 2))
+        torch.manual_seed(5)
+        noise = t2n(torch.randn_like(hu_nchw)).transpose(0, 2, 3, 1)
+
+        schedule = ddim_samplers.make_ddim_schedule(
+            task.alphas_cumprod, self.STEPS, "uniform", 0.0)
+        eps = task._eps_fn(params, 0.0)
+        hu = jnp.asarray(np.concatenate([h, u], axis=-1))
+        mask = jnp.broadcast_to(task._time_mask(hu.shape, 16, 8), hu.shape)
+        xs_j = ddim_samplers.ddim_sample_repaint(
+            eps, jax.random.PRNGKey(0), hu, mask, schedule, n_repeat=2,
+            return_last=True, init_noise=jnp.asarray(noise))
+        self._rel_assert(out_t, np.asarray(xs_j[:, -1]), "RePaint DDIM")
+
+    def test_joint_h_ddim_parity(self, pair):
+        """PlDdim.sample (ddim.py:706-806): h rides its fixed noisy
+        trajectory, u is denoised; u_noise is caller-provided."""
+        from m_cedm_tpu.samplers import ddim as ddim_samplers
+
+        tmodel, task, params = pair
+        h, u_noise = self._fields(12)
+        sp = Dot.wrap(dict(type="ddim", timesteps=self.STEPS,
+                           skip_type="uniform", eta=0.0, w=0.0))
+        torch.manual_seed(6)
+        with torch.no_grad():
+            xs_t, _ = tmodel.sample(torch.from_numpy(h[..., 0]),
+                                    torch.from_numpy(u_noise[..., 0]), sp,
+                                    return_last=True)
+        out_t = t2n(xs_t[:, -1])
+
+        # h_noise is randn_like on a permuted (B, 1, H, W) view; with a
+        # single channel the physical (NHWC) and contiguous orders coincide
+        torch.manual_seed(6)
+        h_noise = t2n(torch.randn(self.B, 1, self.RES, self.RES)
+                      ).transpose(0, 2, 3, 1)
+
+        schedule = ddim_samplers.make_ddim_schedule(
+            task.alphas_cumprod, self.STEPS, "uniform", 0.0)
+        eps = task._eps_fn(params, 0.0)
+        xs_j = ddim_samplers.ddim_sample_joint_h(
+            eps, jax.random.PRNGKey(0), jnp.asarray(h), schedule, h_ch=1,
+            return_last=True, h_noise=jnp.asarray(h_noise),
+            u_noise=jnp.asarray(u_noise))
+        self._rel_assert(out_t, np.asarray(xs_j[:, -1]), "joint-h DDIM")
+
+    def test_ddpm_as_edm_parity(self, pair):
+        """PlDdim.sample_edm (ddim.py:959-1051): the DDPM net driven by the
+        Heun EDM loop via the round_sigma table, RePaint-clamped known part
+        (f64 loop in the reference vs f32 on-device here)."""
+        from m_cedm_tpu.samplers import edm as edm_samplers
+
+        tmodel, task, params = pair
+        h, u = self._fields(13)
+        sp = Dot.wrap(dict(type="edm", timesteps=8, sigma_min=0.002,
+                           sigma_max=80, rho=7, S_churn=0.0, S_min=0,
+                           S_max="inf", S_noise=1, w=0.0, n_repeat=1,
+                           n_time_h=16, n_time_u=8))
+        tmodel.set_test_sampler_params(sp)
+        torch.manual_seed(7)
+        with torch.no_grad():
+            xs_t = tmodel.sample_edm(torch.from_numpy(h), torch.from_numpy(u),
+                                     sp, return_last=True)
+        out_t = t2n(xs_t[:, -1])
+
+        # randn_like on an identically (channels-last) strided tensor — see
+        # test_repaint_ddim_parity for why a plain randn cannot replicate it
+        hu_nchw = torch.from_numpy(
+            np.concatenate([h, u], -1).transpose(0, 3, 1, 2))
+        torch.manual_seed(7)
+        noise = t2n(torch.randn_like(hu_nchw)).transpose(0, 2, 3, 1)
+
+        schedule = edm_samplers.make_edm_schedule(
+            num_steps=8, sigma_min=max(0.002, task.sigma_min),
+            sigma_max=min(80.0, task.sigma_max), rho=7.0, S_churn=0.0,
+            S_min=0.0, S_max=float("inf"), S_noise=1.0,
+            sigma_table=task.edm_steps, alphas_cumprod=task.alphas_cumprod)
+        denoise = task._ddpm_as_edm_denoise_fn(params, 0.0)
+        hu = jnp.asarray(np.concatenate([h, u], axis=-1))
+        mask = jnp.broadcast_to(task._time_mask(hu.shape, 16, 8), hu.shape)
+        xs_j = edm_samplers.heun_sample_repaint(
+            denoise, jax.random.PRNGKey(0), hu, mask, schedule, n_repeat=1,
+            return_last=True, init_noise=jnp.asarray(noise))
+        self._rel_assert(out_t, np.asarray(xs_j[:, -1]), "DDPM-as-EDM")
+
+
+# ---------------------------------------------------------------------------
+# Backward-pass parity: input gradients under ported weights
+# ---------------------------------------------------------------------------
+
+class TestBackwardGolden:
+    """d(sum(net(x) * G))/dx in torch autograd vs jax.grad under ported
+    weights: pins the whole backward pass (GroupNorm, fp32 attention,
+    resample convs, SiLU) that the forward-only golden tests cannot see."""
+
+    def test_adm_input_gradient_parity(self, reference):
+        import yaml
+        from models.adm_blocks import DhariwalUNet
+
+        with open(f"{REFERENCE}/configs/model/adm_edm_mcedm_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["hparams"]["model"].update(resolution=32, attn_resolutions=[8])
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(0)
+        tnet = DhariwalUNet(hp_t).eval()
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.models import build_backbone
+
+        hp_j = to_dotdict(cfg["hparams"])
+        hp_j["model"].update(resolution=32, attn_resolutions=[8])
+        jnet, _ = build_backbone({"name": "adm_edm_mcedm",
+                                  "model": hp_j["model"], "data": hp_j["data"],
+                                  "optimization": hp_j["optimization"]})
+        params = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                           jnp.ones((1,)), jnp.zeros((1, 32, 32, 2)))
+        params = port_adm(tnet.state_dict(), params)
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        cond = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        g = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        c_noise = np.asarray([0.3, -0.2], np.float32)
+
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+        out_t = tnet(xt, torch.from_numpy(c_noise),
+                     cond=torch.from_numpy(cond.transpose(0, 3, 1, 2)))
+        (out_t * torch.from_numpy(g.transpose(0, 3, 1, 2))).sum().backward()
+        grad_t = t2n(xt.grad).transpose(0, 2, 3, 1)
+
+        grad_j = np.asarray(jax.grad(
+            lambda xx: jnp.sum(jnet.apply(params, xx, jnp.asarray(c_noise),
+                                          jnp.asarray(cond)) * g)
+        )(jnp.asarray(x)))
+        delta = np.abs(grad_t - grad_j).max()
+        scale = np.abs(grad_t).max()
+        assert delta <= 1e-3 * max(scale, 1.0), (
+            f"ADM input-grad rel delta {delta / scale} (abs {delta})")
+
+    def test_ddpm_input_gradient_parity(self, reference):
+        import yaml
+        from models.ddim_blocks import Model
+
+        with open(f"{REFERENCE}/configs/model/ddim_res32.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["hparams"]["model"].update(resolution=32, attn_resolutions=[16],
+                                       self_cond=False)
+        hp_t = Dot.wrap(cfg["hparams"])
+        torch.manual_seed(0)
+        tnet = Model(hp_t).eval()
+
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.models import build_backbone
+
+        hp_j = to_dotdict(cfg["hparams"])
+        jnet, _ = build_backbone({"name": "ddim", "model": hp_j["model"],
+                                  "data": hp_j["data"],
+                                  "optimization": hp_j["optimization"]})
+        params = jnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                           jnp.ones((1,)), None)
+        params = port_ddpm(tnet.state_dict(), params)
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        g = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+        t_idx = np.asarray([17.0, 431.0], np.float32)
+
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+        out_t = tnet(xt, torch.from_numpy(t_idx))
+        (out_t * torch.from_numpy(g.transpose(0, 3, 1, 2))).sum().backward()
+        grad_t = t2n(xt.grad).transpose(0, 2, 3, 1)
+
+        grad_j = np.asarray(jax.grad(
+            lambda xx: jnp.sum(jnet.apply(params, xx, jnp.asarray(t_idx),
+                                          None) * g)
+        )(jnp.asarray(x)))
+        delta = np.abs(grad_t - grad_j).max()
+        scale = np.abs(grad_t).max()
+        assert delta <= 1e-3 * max(scale, 1.0), (
+            f"DDPM input-grad rel delta {delta / scale} (abs {delta})")
