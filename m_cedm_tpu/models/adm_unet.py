@@ -118,16 +118,28 @@ class UNetBlock(nn.Module):
 
         orig = x
         # norm0+silu+conv0 fuse into one Pallas kernel when conv0 does not
-        # resample (the normalized intermediate never round-trips HBM)
+        # resample (the normalized intermediate never round-trips HBM); the
+        # second kernel then swallows the whole block tail: norm1(+FiLM)+
+        # silu+conv1 + the skip path (identity or 1x1 projection) + the
+        # residual add — and hands conv0's output statistics to norm1 so no
+        # separate stats pass over h runs either
         from m_cedm_tpu.models.layers import conv_fusion_enabled
 
         norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
                               name="norm0")
         conv0 = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT,
                        name="conv0")
-        if conv_fusion_enabled() and not self.up and not self.down:
+        fuse_block = (conv_fusion_enabled() and not self.up and not self.down
+                      and self.adaptive_scale and self.dropout == 0)
+        if fuse_block:
             g0, b0 = norm0(x, fold_only=True)
-            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels), self.eps))
+            h, h_sums, h_sumsq = conv0(
+                x, fused_norm=(g0, b0, _adm_groups(in_channels), self.eps),
+                emit_stats=True)
+        elif conv_fusion_enabled() and not self.up and not self.down:
+            g0, b0 = norm0(x, fold_only=True)
+            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
+                                     self.eps))
         else:
             h = conv0(norm0(x))
 
@@ -136,6 +148,19 @@ class UNetBlock(nn.Module):
             scale, shift = jnp.split(params, 2, axis=-1)  # (B, C) each
             norm1 = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")
             conv1 = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")
+            if fuse_block:
+                g1, b1 = norm1(h, film_scale=scale, film_shift=shift,
+                               fold_only=True)
+                fn = (g1, b1, _adm_groups(c), self.eps)
+                if c != in_channels:
+                    skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
+                        orig, params_only=True)
+                    h = conv1(h, fused_norm=fn, fused_stats=(h_sums, h_sumsq),
+                              fused_residual=(orig, skw, skb))
+                else:
+                    h = conv1(h, fused_norm=fn, fused_stats=(h_sums, h_sumsq),
+                              fused_residual=(orig,))
+                return self._attention(h * self.skip_scale, c, num_heads)
             if self.dropout > 0 or not conv_fusion_enabled():
                 h = norm1(h, film_scale=scale, film_shift=shift)
                 if self.dropout > 0:
@@ -156,22 +181,25 @@ class UNetBlock(nn.Module):
             skip_kernel = 1 if c != in_channels else 0
             orig = Conv2d(c, kernel=skip_kernel, up=self.up, down=self.down,
                           **INIT, name="skip")(orig)
-        x = (h + orig) * self.skip_scale
+        return self._attention((h + orig) * self.skip_scale, c, num_heads)
 
-        if num_heads:
-            b, hh, ww, _ = x.shape
-            y = adm_group_norm(c, eps=self.eps)(x)
-            qkv = Conv2d(c * 3, kernel=1, **INIT, name="qkv")(y)
-            qkv = qkv.reshape(b, hh * ww, 3, num_heads, c // num_heads)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            # (B, L, H, D) -> (B*H, L, D)
-            q = q.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
-            k = k.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
-            v = v.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
-            a = fp32_softmax_attention(q, k, v)
-            a = a.reshape(b, num_heads, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
-            x = (Conv2d(c, kernel=1, **INIT_ZERO, name="proj")(a) + x) * self.skip_scale
-        return x
+    def _attention(self, x, c, num_heads):
+        # plain helper called from the compact __call__ — same module scope,
+        # so param names ("qkv", "proj", auto-named GroupNorm) are unchanged
+        if not num_heads:
+            return x
+        b, hh, ww, _ = x.shape
+        y = adm_group_norm(c, eps=self.eps)(x)
+        qkv = Conv2d(c * 3, kernel=1, **INIT, name="qkv")(y)
+        qkv = qkv.reshape(b, hh * ww, 3, num_heads, c // num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # (B, L, H, D) -> (B*H, L, D)
+        q = q.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+        k = k.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+        v = v.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+        a = fp32_softmax_attention(q, k, v)
+        a = a.reshape(b, num_heads, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
+        return (Conv2d(c, kernel=1, **INIT_ZERO, name="proj")(a) + x) * self.skip_scale
 
 
 class CondEncoder(nn.Module):
@@ -281,5 +309,11 @@ class AdmUNet(nn.Module):
                               name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
         assert not skips
 
-        x = GroupNormSiLU(_adm_groups(cout), name="out_norm")(x)
-        return Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")(x)
+        from m_cedm_tpu.models.layers import conv_fusion_enabled
+
+        out_norm = GroupNormSiLU(_adm_groups(cout), name="out_norm")
+        out_conv = Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")
+        if conv_fusion_enabled():
+            g, b = out_norm(x, fold_only=True)
+            return out_conv(x, fused_norm=(g, b, _adm_groups(cout), 1e-5))
+        return out_conv(out_norm(x))

@@ -125,12 +125,15 @@ class Conv2d(nn.Module):
     init_bias: float = 0.0
 
     @nn.compact
-    def __call__(self, x, fused_norm=None):
+    def __call__(self, x, fused_norm=None, fused_stats=None,
+                 fused_residual=None, emit_stats=False,
+                 params_only: bool = False):
         assert not (self.up and self.down)
-        if self.up:
-            x = upsample2x_nearest(x)
-        if self.down:
-            x = downsample2x_mean(x)
+        if not params_only:
+            if self.up:
+                x = upsample2x_nearest(x)
+            if self.down:
+                x = downsample2x_mean(x)
         if self.kernel == 0:
             return x
         in_ch = x.shape[-1]
@@ -143,16 +146,35 @@ class Conv2d(nn.Module):
         if self.use_bias:
             b_init = make_initializer(self.init_mode, self.init_bias, fan_in, fan_out)
             bias = self.param("bias", b_init, (self.features,))
+        if params_only:
+            # hand this conv's params to a fused-kernel consumer (the block
+            # tail folds a 1x1 skip projection into its Pallas kernel)
+            return kernel.reshape(in_ch, self.features) if k == 1 else kernel, bias
         if fused_norm is not None:
-            # fused conv3x3(silu(group_norm(x)*gamma+beta)): gamma/beta come
-            # folded from GroupNormSiLU(fold_only=True); one Pallas kernel on
-            # TPU, identical-math XLA elsewhere (pallas/fused_norm_conv.py)
-            from m_cedm_tpu.pallas.fused_norm_conv import fused_gn_silu_conv
+            # fused conv3x3(silu(group_norm(x)*gamma+beta)) [+ skip(x)]:
+            # gamma/beta come folded from GroupNormSiLU(fold_only=True); one
+            # Pallas kernel on TPU, identical-math XLA elsewhere
+            # (pallas/fused_norm_conv.py)
+            from m_cedm_tpu.pallas.fused_norm_conv import (
+                fused_gn_silu_conv, fused_gn_silu_conv_block)
 
             assert k == 3 and not self.up and not self.down
             gamma, beta, num_groups, eps = fused_norm
-            return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
-                                      num_groups, eps)
+            if (fused_stats is None and fused_residual is None
+                    and not emit_stats):
+                return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
+                                          num_groups, eps)
+            # fused_residual: (residual,) identity skip or
+            # (residual, skip_w, skip_b) 1x1-projection skip
+            residual = skip_w = skip_b = None
+            if fused_residual is not None:
+                residual = fused_residual[0]
+                if len(fused_residual) == 3:
+                    skip_w, skip_b = fused_residual[1:]
+            return fused_gn_silu_conv_block(
+                x, gamma, beta, kernel, bias, num_groups, eps,
+                residual=residual, skip_w=skip_w, skip_b=skip_b,
+                stats=fused_stats, emit_stats=emit_stats)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(1, 1),

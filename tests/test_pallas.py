@@ -276,6 +276,97 @@ class TestFusedNormConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=1e-4)
 
+    def test_block_reference_matches_composition(self):
+        """gn_silu_conv_block_reference (identity / 1x1-proj residual +
+        emitted stats) == unfused composition."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        x, gamma, beta, w, bias = self._inputs()
+        O = w.shape[-1]
+        rs = np.random.RandomState(11)
+        res_id = jnp.asarray(rs.randn(*x.shape[:3], O).astype(np.float32))
+        res_in = jnp.asarray(rs.randn(*x.shape[:3], 24).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(24, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        base = fnc.gn_silu_conv_reference(x, gamma, beta, w, bias, G)
+
+        got = fnc.gn_silu_conv_block_reference(x, gamma, beta, w, bias, G,
+                                               residual=res_id)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base + res_id),
+                                   rtol=1e-5, atol=1e-6)
+        got = fnc.gn_silu_conv_block_reference(x, gamma, beta, w, bias, G,
+                                               residual=res_in, skip_w=skw,
+                                               skip_b=skb)
+        want = base + jnp.einsum("bhwc,co->bhwo", res_in, skw) + skb
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_block_pallas_interpret_matches_reference(self):
+        """The full residual-block-tail kernel (proj residual, chained input
+        stats, emitted output stats) in interpret mode vs reference."""
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        x, gamma, beta, w, bias = self._inputs(H=32, W=16)
+        b, h, wd, c = x.shape
+        O = w.shape[-1]
+        rs = np.random.RandomState(12)
+        res = jnp.asarray(rs.randn(b, h, wd, 24).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(24, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        x32 = x.reshape(b, h * wd, c).astype(jnp.float32)
+        stats = (jnp.sum(x32, 1), jnp.sum(x32 * x32, 1))
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            fnc.pl.pallas_call = pl.pallas_call
+            out, osums, osumsq = fnc._pallas_gnsc(
+                x, gamma, beta, w, bias, G, 1e-5, residual=res, skip_w=skw,
+                skip_b=skb, res_mode="proj", emit_stats=True, stats=stats)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+            fnc.pl.pallas_call = orig_call
+        ref = fnc.gn_silu_conv_block_reference(x, gamma, beta, w, bias, G,
+                                               1e-5, residual=res,
+                                               skip_w=skw, skip_b=skb)
+        rsums, rsumsq = fnc._out_stats_reference(ref)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(osumsq), np.asarray(rsumsq),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_block_grad_matches_unfused(self):
+        """Gradients through the fully-fused block path (conv0 emit_stats ->
+        conv1 chained stats + proj residual) == the unfused block: exercises
+        the custom VJP incl. zero cotangents for the chained stats."""
+        from m_cedm_tpu.models.adm_unet import UNetBlock
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        block = UNetBlock(out_channels=32)  # in_ch 48 != 32 -> proj skip
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 48))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        params = block.init(jax.random.PRNGKey(2), x, emb)
+
+        def loss(p, fused):
+            if fused:
+                return jnp.sum(jnp.sin(block.apply(p, x, emb)))
+            with disable_conv_fusion():
+                return jnp.sum(jnp.sin(block.apply(p, x, emb)))
+
+        g1 = jax.grad(lambda p: loss(p, True))(params)
+        g2 = jax.grad(lambda p: loss(p, False))(params)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        for a, b_ in zip(flat1, flat2):
+            # 1x1-proj as einsum vs lax.conv reassociates fp32 sums
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=4e-4, atol=4e-5)
+
     def test_unet_block_fusion_toggle_same_outputs(self):
         """A UNetBlock forward is identical with fusion enabled/disabled
         (on CPU both route to the same reference math; this pins the module
