@@ -123,19 +123,28 @@ class UNetBlock(nn.Module):
         # silu+conv1 + the skip path (identity or 1x1 projection) + the
         # residual add — and hands conv0's output statistics to norm1 so no
         # separate stats pass over h runs either
-        from m_cedm_tpu.models.layers import conv_fusion_enabled
+        from m_cedm_tpu.models.layers import (block_fusion_enabled,
+                                              conv_fusion_enabled,
+                                              stats_chain_enabled)
 
         norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
                               name="norm0")
         conv0 = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT,
                        name="conv0")
-        fuse_block = (conv_fusion_enabled() and not self.up and not self.down
+        fuse_block = (conv_fusion_enabled() and block_fusion_enabled()
+                      and not self.up and not self.down
                       and self.adaptive_scale and self.dropout == 0)
-        if fuse_block:
+        chain = fuse_block and stats_chain_enabled()
+        if chain:
             g0, b0 = norm0(x, fold_only=True)
             h, h_sums, h_sumsq = conv0(
                 x, fused_norm=(g0, b0, _adm_groups(in_channels), self.eps),
                 emit_stats=True)
+        elif fuse_block:
+            g0, b0 = norm0(x, fold_only=True)
+            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
+                                     self.eps))
+            h_sums = h_sumsq = None
         elif conv_fusion_enabled() and not self.up and not self.down:
             g0, b0 = norm0(x, fold_only=True)
             h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
@@ -152,13 +161,14 @@ class UNetBlock(nn.Module):
                 g1, b1 = norm1(h, film_scale=scale, film_shift=shift,
                                fold_only=True)
                 fn = (g1, b1, _adm_groups(c), self.eps)
+                stats = (h_sums, h_sumsq) if h_sums is not None else None
                 if c != in_channels:
                     skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
                         orig, params_only=True)
-                    h = conv1(h, fused_norm=fn, fused_stats=(h_sums, h_sumsq),
+                    h = conv1(h, fused_norm=fn, fused_stats=stats,
                               fused_residual=(orig, skw, skb))
                 else:
-                    h = conv1(h, fused_norm=fn, fused_stats=(h_sums, h_sumsq),
+                    h = conv1(h, fused_norm=fn, fused_stats=stats,
                               fused_residual=(orig,))
                 return self._attention(h * self.skip_scale, c, num_heads)
             if self.dropout > 0 or not conv_fusion_enabled():
@@ -309,11 +319,12 @@ class AdmUNet(nn.Module):
                               name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
         assert not skips
 
-        from m_cedm_tpu.models.layers import conv_fusion_enabled
+        from m_cedm_tpu.models.layers import (conv_fusion_enabled,
+                                              out_fusion_enabled)
 
         out_norm = GroupNormSiLU(_adm_groups(cout), name="out_norm")
         out_conv = Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")
-        if conv_fusion_enabled():
+        if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)
             return out_conv(x, fused_norm=(g, b, _adm_groups(cout), 1e-5))
         return out_conv(out_norm(x))

@@ -29,6 +29,39 @@ import jax.numpy as jnp
 _CONV_FUSION = True
 
 
+def block_fusion_enabled() -> bool:
+    """Gate (trace-time) for the whole-block fused tail (residual + stats
+    emission in one kernel), separate from per-conv fusion — lets benchmarks
+    A/B the block-level fusion against the per-conv-fusion program on the
+    same device session. MCEDM_BLOCK_FUSION levels (sampler bisect on TPU
+    v5e, 50-step Heun B=16 res128 bf16, same session): "0" none (1208.5 ms),
+    "res" residual fusion only (1112.4), "1"/"blocks" (default) + stats
+    chaining (1098.2 — the production setting), "all" + fused out head
+    (1290.5 — the 2-channel Pallas output write is pathologically slow on
+    this Mosaic backend, so the out head stays unfused by default)."""
+    import os
+
+    return os.environ.get("MCEDM_BLOCK_FUSION", "1") != "0"
+
+
+def stats_chain_enabled() -> bool:
+    """Gate for conv0 stats emission -> conv1 chained stats inside the fused
+    block tail (bisect: MCEDM_BLOCK_FUSION="res" turns only this off)."""
+    import os
+
+    return os.environ.get("MCEDM_BLOCK_FUSION", "1") in ("1", "blocks", "all")
+
+
+def out_fusion_enabled() -> bool:
+    """Gate for the fused out_norm+out_conv head. Default OFF: the O=2
+    output write measured +192 ms on the 50-step sampler (see
+    block_fusion_enabled docstring) — enable with MCEDM_BLOCK_FUSION=all
+    only to re-measure."""
+    import os
+
+    return os.environ.get("MCEDM_BLOCK_FUSION", "1") == "all"
+
+
 def conv_fusion_enabled() -> bool:
     """Trace-time switch for the fused norm+silu+conv path. Fusion wins in
     forward-only graphs (sampling: the normalized intermediate never touches

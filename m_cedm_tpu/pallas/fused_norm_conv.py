@@ -17,8 +17,10 @@ place, eliminating y entirely:
 
 At the flagship shape (res 128, C=64, bf16) each fusion saves ~270 MB of
 HBM traffic per batch-16 call on a workload that is bandwidth-bound
-(BENCH_r02: sampling at 73% of peak HBM BW), directly raising the roofline
-ceiling.
+(XLA cost analysis: fwd intensity 7.5 flop/byte vs v5e ridge ~240),
+directly raising the roofline ceiling. The block-tail extension (residual
++ stats emission below) measured a further 1.10x on the 50-step Heun
+sampler (same-session A/B: 1208.5 -> 1098.2 ms, B=16 res128 bf16).
 
 Kernel structure: grid (B, H/R) over row tiles (R=16; a handful of MB of
 VMEM per step at any model shape). Halo rows ride in as thin pre-sliced
