@@ -111,8 +111,15 @@ class UNetBlock(nn.Module):
     adaptive_scale: bool = True
 
     @nn.compact
-    def __call__(self, x, emb, deterministic: bool = True):
-        in_channels = x.shape[-1]
+    def __call__(self, x, emb, deterministic: bool = True, x2=None,
+                 in_stats=None, want_stats: bool = False):
+        """x2: second half of a channel-concat input (the decoder's skip) —
+        on the fully-fused path the concat is never materialized (dual-input
+        kernels); otherwise it is concatenated here. in_stats: chained
+        (sums, sumsq) channel statistics of the (concatenated) input from
+        the producing kernel. want_stats: also return the output's channel
+        statistics (or None when attention runs after the tail kernel)."""
+        in_channels = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         c = self.out_channels
         num_heads = c // self.channels_per_head if self.attention else 0
 
@@ -129,48 +136,85 @@ class UNetBlock(nn.Module):
 
         norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
                               name="norm0")
+        # fuse_tail: norm1(+FiLM)+silu+conv1+skip+add in one kernel — also
+        # for resampling blocks (their skip is resampled by its module first
+        # and rides as an identity residual). fuse_block additionally fuses
+        # conv0 and chains its output stats into norm1. (An in-kernel
+        # norm+pool for down blocks was tried and is impossible on this
+        # Mosaic backend: stride-2 vector slices and lane-repacking reshapes
+        # are both rejected — the pooling win is captured by the
+        # dtype-preserving downsample2x_mean in layers.py instead.)
+        fuse_tail = (conv_fusion_enabled() and block_fusion_enabled()
+                     and self.adaptive_scale and self.dropout == 0)
+        fuse_block = fuse_tail and not self.up and not self.down
+        chain = fuse_block and stats_chain_enabled()
+        if x2 is not None and not chain:
+            # dual input only rides unmaterialized on the fully-fused path
+            x = jnp.concatenate([x, x2], axis=-1)
+            orig = x
+            x2 = None
         conv0 = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT,
                        name="conv0")
-        fuse_block = (conv_fusion_enabled() and block_fusion_enabled()
-                      and not self.up and not self.down
-                      and self.adaptive_scale and self.dropout == 0)
-        chain = fuse_block and stats_chain_enabled()
+        fold_probe = (x if x2 is None else
+                      jnp.zeros(x.shape[:1] + (1, 1, in_channels), x.dtype))
+        h_sums = h_sumsq = None
         if chain:
-            g0, b0 = norm0(x, fold_only=True)
+            g0, b0 = norm0(fold_probe, fold_only=True)
             h, h_sums, h_sumsq = conv0(
-                x, fused_norm=(g0, b0, _adm_groups(in_channels), self.eps),
-                emit_stats=True)
-        elif fuse_block:
-            g0, b0 = norm0(x, fold_only=True)
-            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
-                                     self.eps))
-            h_sums = h_sumsq = None
+                x, x2=x2,
+                fused_norm=(g0, b0, _adm_groups(in_channels), self.eps),
+                fused_stats=in_stats, emit_stats=True)
         elif conv_fusion_enabled() and not self.up and not self.down:
             g0, b0 = norm0(x, fold_only=True)
             h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
                                      self.eps))
         else:
-            h = conv0(norm0(x))
+            h = conv0(norm0(x, stats=in_stats))
 
         params = Linear(c * (2 if self.adaptive_scale else 1), **INIT, name="affine")(emb)
         if self.adaptive_scale:
             scale, shift = jnp.split(params, 2, axis=-1)  # (B, C) each
             norm1 = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")
             conv1 = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")
-            if fuse_block:
+            if fuse_tail:
                 g1, b1 = norm1(h, film_scale=scale, film_shift=shift,
                                fold_only=True)
                 fn = (g1, b1, _adm_groups(c), self.eps)
                 stats = (h_sums, h_sumsq) if h_sums is not None else None
-                if c != in_channels:
+                # the tail kernel can emit the block output's channel stats
+                # for the next consumer — only valid when nothing (attention,
+                # skip_scale) transforms the output afterwards
+                emit = (want_stats and not num_heads
+                        and self.skip_scale == 1.0)
+                if self.up or self.down:
+                    # resample the skip with its own module, then it rides
+                    # as an identity residual in the tail kernel
+                    skip_kernel = 1 if c != in_channels else 0
+                    orig_t = Conv2d(c, kernel=skip_kernel, up=self.up,
+                                    down=self.down, **INIT, name="skip")(orig)
+                    h = conv1(h, fused_norm=fn, fused_residual=(orig_t,),
+                              emit_stats=emit)
+                elif x2 is not None:
+                    skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
+                        fold_probe, params_only=True)
+                    h = conv1(h, fused_norm=fn, fused_stats=stats,
+                              fused_residual=(orig, x2, skw, skb),
+                              emit_stats=emit)
+                elif c != in_channels:
                     skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
                         orig, params_only=True)
                     h = conv1(h, fused_norm=fn, fused_stats=stats,
-                              fused_residual=(orig, skw, skb))
+                              fused_residual=(orig, skw, skb),
+                              emit_stats=emit)
                 else:
                     h = conv1(h, fused_norm=fn, fused_stats=stats,
-                              fused_residual=(orig,))
-                return self._attention(h * self.skip_scale, c, num_heads)
+                              fused_residual=(orig,), emit_stats=emit)
+                out_stats = None
+                if emit:
+                    h, os_, oss_ = h
+                    out_stats = (os_, oss_)
+                out = self._attention(h * self.skip_scale, c, num_heads)
+                return (out, out_stats) if want_stats else out
             if self.dropout > 0 or not conv_fusion_enabled():
                 h = norm1(h, film_scale=scale, film_shift=shift)
                 if self.dropout > 0:
@@ -191,7 +235,8 @@ class UNetBlock(nn.Module):
             skip_kernel = 1 if c != in_channels else 0
             orig = Conv2d(c, kernel=skip_kernel, up=self.up, down=self.down,
                           **INIT, name="skip")(orig)
-        return self._attention((h + orig) * self.skip_scale, c, num_heads)
+        out = self._attention((h + orig) * self.skip_scale, c, num_heads)
+        return (out, None) if want_stats else out
 
     def _attention(self, x, c, num_heads):
         # plain helper called from the compact __call__ — same module scope,
@@ -284,47 +329,86 @@ class AdmUNet(nn.Module):
             x = Conv2d(feat_ch, kernel=3, **INIT, name="combine_enc")(x)
 
         # --- encoder ------------------------------------------------------
-        skips = [x]
+        # chain: thread each block's emitted channel statistics into the
+        # next block's norm (and the decoder's concat inputs ride into
+        # dual-input kernels without the concat ever being materialized)
+        from m_cedm_tpu.models.layers import (block_fusion_enabled,
+                                              conv_fusion_enabled,
+                                              dual_input_enabled,
+                                              out_fusion_enabled,
+                                              stats_chain_enabled)
+
+        use_chain = (conv_fusion_enabled() and block_fusion_enabled()
+                     and stats_chain_enabled() and not cfg.remat)
+        use_dual = use_chain and dual_input_enabled()
+
+        def run(blk, x, x2=None, in_stats=None):
+            if use_chain:
+                if x2 is not None and not use_dual:
+                    # materialize the concat (measured faster than the
+                    # dual-input kernel) but keep its chained stats
+                    x = jnp.concatenate([x, x2], axis=-1)
+                    x2 = None
+                return blk(x, emb, deterministic, x2=x2, in_stats=in_stats,
+                           want_stats=True)
+            if x2 is not None:
+                x = jnp.concatenate([x, x2], axis=-1)
+            return blk(x, emb, deterministic), None
+
+        stats = None
+        skips = [(x, None)]
         cout = feat_ch
         for level, mult in enumerate(cfg.ch_mult):
             res = cfg.resolution >> level
             if level > 0:
-                x = Block(cout, down=True, **block_kwargs,
-                              name=f"enc_{res}x{res}_down")(x, emb, deterministic)
-                skips.append(x)
+                x, stats = run(Block(cout, down=True, **block_kwargs,
+                                     name=f"enc_{res}x{res}_down"), x,
+                               in_stats=stats)
+                skips.append((x, stats))
             for idx in range(cfg.num_res_blocks):
                 cout = ch * mult
-                x = Block(cout, attention=(res in cfg.attn_resolutions),
-                              **block_kwargs,
-                              name=f"enc_{res}x{res}_block{idx}")(x, emb, deterministic)
-                skips.append(x)
+                x, stats = run(Block(cout,
+                                     attention=(res in cfg.attn_resolutions),
+                                     **block_kwargs,
+                                     name=f"enc_{res}x{res}_block{idx}"), x,
+                               in_stats=stats)
+                skips.append((x, stats))
 
         # --- decoder ------------------------------------------------------
         for level, mult in reversed(list(enumerate(cfg.ch_mult))):
             res = cfg.resolution >> level
             if level == len(cfg.ch_mult) - 1:
-                x = Block(cout, attention=True, **block_kwargs,
-                              name=f"dec_{res}x{res}_in0")(x, emb, deterministic)
-                x = Block(cout, **block_kwargs,
-                              name=f"dec_{res}x{res}_in1")(x, emb, deterministic)
+                x, stats = run(Block(cout, attention=True, **block_kwargs,
+                                     name=f"dec_{res}x{res}_in0"), x,
+                               in_stats=stats)
+                x, stats = run(Block(cout, **block_kwargs,
+                                     name=f"dec_{res}x{res}_in1"), x,
+                               in_stats=stats)
             else:
-                x = Block(cout, up=True, **block_kwargs,
-                              name=f"dec_{res}x{res}_up")(x, emb, deterministic)
+                x, stats = run(Block(cout, up=True, **block_kwargs,
+                                     name=f"dec_{res}x{res}_up"), x,
+                               in_stats=stats)
             for idx in range(cfg.num_res_blocks + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
+                skip, skip_stats = skips.pop()
+                cat_stats = None
+                if stats is not None and skip_stats is not None:
+                    # per-channel stats of an unmaterialized concat are the
+                    # concat of the halves' stats (ADM groups never straddle
+                    # the boundary)
+                    cat_stats = (
+                        jnp.concatenate([stats[0], skip_stats[0]], -1),
+                        jnp.concatenate([stats[1], skip_stats[1]], -1))
                 cout = ch * mult
-                x = Block(cout, attention=(res in cfg.attn_resolutions),
-                              **block_kwargs,
-                              name=f"dec_{res}x{res}_block{idx}")(x, emb, deterministic)
+                x, stats = run(Block(cout,
+                                     attention=(res in cfg.attn_resolutions),
+                                     **block_kwargs,
+                                     name=f"dec_{res}x{res}_block{idx}"), x,
+                               x2=skip, in_stats=cat_stats)
         assert not skips
-
-        from m_cedm_tpu.models.layers import (conv_fusion_enabled,
-                                              out_fusion_enabled)
 
         out_norm = GroupNormSiLU(_adm_groups(cout), name="out_norm")
         out_conv = Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")
         if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)
             return out_conv(x, fused_norm=(g, b, _adm_groups(cout), 1e-5))
-        return out_conv(out_norm(x))
+        return out_conv(out_norm(x, stats=stats))

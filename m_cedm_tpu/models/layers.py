@@ -44,6 +44,19 @@ def block_fusion_enabled() -> bool:
     return os.environ.get("MCEDM_BLOCK_FUSION", "1") != "0"
 
 
+def dual_input_enabled() -> bool:
+    """Gate for dual-input (unmaterialized-concat) decoder kernels. Default
+    OFF: same-session sampler A/B measured them ~110 ms SLOWER than
+    materializing the concat (1201.1 vs 1093.0 ms, 50-step Heun B=16 res128
+    bf16) — six row-tiled input streams plus four halo-row gathers per
+    kernel cost more than one XLA concat. The cross-block STATS chaining
+    they enabled is kept (concat stats = concat of halves' stats) and is
+    independent of this gate. MCEDM_DUAL=1 re-enables for re-measurement."""
+    import os
+
+    return os.environ.get("MCEDM_DUAL", "0") == "1"
+
+
 def stats_chain_enabled() -> bool:
     """Gate for conv0 stats emission -> conv1 chained stats inside the fused
     block tail (bisect: MCEDM_BLOCK_FUSION="res" turns only this off)."""
@@ -71,12 +84,18 @@ def conv_fusion_enabled() -> bool:
 
 
 class disable_conv_fusion:
-    """Context manager: trace grad-bearing graphs with conv fusion off."""
+    """Context manager: trace grad-bearing graphs with conv fusion off
+    (the custom-vjp recompute backward measured slower than XLA autodiff of
+    the unfused composition). MCEDM_TRAIN_FUSION=1 makes this a no-op so
+    train-side fusion can be re-A/B'd as the kernels evolve."""
 
     def __enter__(self):
+        import os
+
         global _CONV_FUSION
         self._prev = _CONV_FUSION
-        _CONV_FUSION = False
+        if os.environ.get("MCEDM_TRAIN_FUSION", "0") != "1":
+            _CONV_FUSION = False
 
     def __exit__(self, *exc):
         global _CONV_FUSION
@@ -134,12 +153,63 @@ def upsample2x_nearest(x):
     return x
 
 
+def upconv_phase_enabled() -> bool:
+    """Gate for the phase-decomposed upsample+conv3x3 (see
+    _upsample_phase_conv). Default OFF: same-session sampler A/B measured
+    the phase path SLOWER (1112.5 vs 1079.1 ms, 50-step Heun B=16 res128
+    bf16) — the 4-phase interleave stack/reshape costs more than the
+    4x-smaller conv saves on this backend. MCEDM_UPCONV=phase re-enables."""
+    import os
+
+    return os.environ.get("MCEDM_UPCONV", "repeat") == "phase"
+
+
+def _upsample_phase_conv(x, w, bias):
+    """conv3x3_same(nearest_upsample_2x(x)) without materializing the
+    upsampled tensor: the standard transposed-conv phase decomposition.
+
+    Each output phase (a, b) in {0,1}^2 sees a 2x2 support in the
+    low-resolution input, with taps that are sums of the original 3x3 taps
+    (nearest upsampling means adjacent taps hit the same source pixel):
+    rows a=0 -> offsets (-1, 0) with weights (w0, w1+w2); a=1 -> (0, +1)
+    with (w0+w1, w2); columns likewise. 4 convs at low res (4/9 the FLOPs
+    of the full-res conv) + a phase-interleave reshape replace the 4x-sized
+    upsample materialization + full-res conv (profiled: broadcast 214us +
+    conv 242us -> this path) on the sampler hot loop.
+    """
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    w = w.astype(x.dtype)
+    # row-collapsed kernels: (2, 3, C, O); index 0 = nearer-zero offset
+    wr = {0: jnp.stack([w[0], w[1] + w[2]], 0),
+          1: jnp.stack([w[0] + w[1], w[2]], 0)}
+    phases = {}
+    for a, rpad in ((0, (1, 0)), (1, (0, 1))):
+        wc = {0: jnp.stack([wr[a][:, 0], wr[a][:, 1] + wr[a][:, 2]], 1),
+              1: jnp.stack([wr[a][:, 0] + wr[a][:, 1], wr[a][:, 2]], 1)}
+        for bb, cpad in ((0, (1, 0)), (1, (0, 1))):
+            phases[(a, bb)] = jax.lax.conv_general_dilated(
+                x, wc[bb], (1, 1), padding=[rpad, cpad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    row0 = jnp.stack([phases[(0, 0)], phases[(0, 1)]], axis=3)
+    row1 = jnp.stack([phases[(1, 0)], phases[(1, 1)]], axis=3)
+    out = jnp.stack([row0, row1], axis=2).reshape(b, 2 * h, 2 * wdt, o)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 def downsample2x_mean(x):
     """Exact equivalent of the EDM depthwise conv(f, stride 2) downsample for
-    resample_filter=[1,1]: 2x2 mean pooling. x: (B, H, W, C)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.mean(axis=(2, 4))
+    resample_filter=[1,1]: 2x2 mean pooling. x: (B, H, W, C).
+
+    Written as dtype-preserving pairwise adds: jnp.mean promotes the
+    accumulation to fp32, which XLA lowers to a full-tensor convert + fp32
+    reduce (~2x the traffic; profiled at ~400us/call at the flagship shape
+    vs ~150us for the fused strided-slice adds)."""
+    a = x[:, 0::2] + x[:, 1::2]
+    b = a[:, :, 0::2] + a[:, :, 1::2]
+    return b * jnp.asarray(0.25, x.dtype)
 
 
 class Conv2d(nn.Module):
@@ -159,17 +229,22 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, fused_norm=None, fused_stats=None,
-                 fused_residual=None, emit_stats=False,
+                 fused_residual=None, emit_stats=False, x2=None,
                  params_only: bool = False):
         assert not (self.up and self.down)
+        phase_up = False
         if not params_only:
             if self.up:
-                x = upsample2x_nearest(x)
+                if (self.kernel == 3 and fused_norm is None
+                        and upconv_phase_enabled()):
+                    phase_up = True  # fused upsample+conv below
+                else:
+                    x = upsample2x_nearest(x)
             if self.down:
                 x = downsample2x_mean(x)
         if self.kernel == 0:
             return x
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         k = self.kernel
         fan_in = in_ch * k * k
         fan_out = self.features * k * k
@@ -197,17 +272,24 @@ class Conv2d(nn.Module):
                     and not emit_stats):
                 return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
                                           num_groups, eps)
-            # fused_residual: (residual,) identity skip or
-            # (residual, skip_w, skip_b) 1x1-projection skip
-            residual = skip_w = skip_b = None
+            # fused_residual: (residual,) identity skip,
+            # (residual, skip_w, skip_b) 1x1-projection skip, or
+            # (residual, residual2, skip_w, skip_b) projection of an
+            # unmaterialized concat
+            residual = residual2 = skip_w = skip_b = None
             if fused_residual is not None:
                 residual = fused_residual[0]
                 if len(fused_residual) == 3:
                     skip_w, skip_b = fused_residual[1:]
+                elif len(fused_residual) == 4:
+                    residual2, skip_w, skip_b = fused_residual[1:]
             return fused_gn_silu_conv_block(
-                x, gamma, beta, kernel, bias, num_groups, eps,
-                residual=residual, skip_w=skip_w, skip_b=skip_b,
+                x, gamma, beta, kernel, bias, num_groups, eps, x2=x2,
+                residual=residual, residual2=residual2,
+                skip_w=skip_w, skip_b=skip_b,
                 stats=fused_stats, emit_stats=emit_stats)
+        if phase_up:
+            return _upsample_phase_conv(x, kernel, bias)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(1, 1),
@@ -317,9 +399,10 @@ class GroupNormSiLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, film_scale=None, film_shift=None,
-                 fold_only: bool = False):
-        from m_cedm_tpu.pallas.fused_norm import (fused_group_norm_silu,
-                                                  group_norm_silu_reference)
+                 fold_only: bool = False, stats=None):
+        from m_cedm_tpu.pallas.fused_norm import (
+            fused_group_norm_silu, fused_group_norm_silu_stats,
+            group_norm_silu_reference)
 
         c = x.shape[-1]
         b = x.shape[0]
@@ -337,8 +420,16 @@ class GroupNormSiLU(nn.Module):
             # consumer (Conv2d(fused_norm=...)) — no compute here
             return gamma, beta
         x2 = x.reshape(b, -1, c)
-        fn = fused_group_norm_silu if self.use_kernel else group_norm_silu_reference
-        out = fn(x2, gamma, beta, self.num_groups, self.eps)
+        if not self.use_kernel:
+            out = group_norm_silu_reference(x2, gamma, beta, self.num_groups,
+                                            self.eps)
+        elif stats is not None:
+            # chained channel stats from the producing kernel's emit_stats
+            out = fused_group_norm_silu_stats(x2, gamma, beta, stats,
+                                              self.num_groups, self.eps)
+        else:
+            out = fused_group_norm_silu(x2, gamma, beta, self.num_groups,
+                                        self.eps)
         return out.reshape(x.shape).astype(x.dtype)
 
 

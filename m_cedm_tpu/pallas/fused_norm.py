@@ -207,10 +207,10 @@ def _compute_stats(x, tile):
     )(x)
 
 
-def _pallas_forward(x, gamma, beta, num_groups, eps, tile):
+def _pallas_forward(x, gamma, beta, num_groups, eps, tile, stats=None):
     b, n, c = x.shape
     gmat = jnp.asarray(_group_matrix(num_groups, c))
-    sums, sumsq = _compute_stats(x, tile)
+    sums, sumsq = stats if stats is not None else _compute_stats(x, tile)
     x_spec, vec_spec, mat_spec = _specs(b, n, c, tile)
     out = pl.pallas_call(
         functools.partial(_apply_kernel, n=n, eps=eps),
@@ -256,6 +256,20 @@ def fused_group_norm_silu(x, gamma, beta, num_groups: int, eps: float = 1e-5):
     if not pallas_enabled() or tile is None:
         return group_norm_silu_reference(x, gamma, beta, num_groups, eps)
     out, _, _ = _pallas_forward(x, gamma, beta, num_groups, eps, tile)
+    return out
+
+
+def fused_group_norm_silu_stats(x, gamma, beta, stats, num_groups: int,
+                                eps: float = 1e-5):
+    """fused_group_norm_silu with externally-chained (sums, sumsq) (B, C)
+    statistics (from a producing kernel's emit_stats) — skips the stats
+    pass over x. Forward-only (the chained-stats path only runs in
+    fusion-enabled inference traces)."""
+    tile = _tile_rows(x.shape[1])
+    if not pallas_enabled() or tile is None:
+        return group_norm_silu_reference(x, gamma, beta, num_groups, eps)
+    out, _, _ = _pallas_forward(x, gamma, beta, num_groups, eps, tile,
+                                stats=stats)
     return out
 
 

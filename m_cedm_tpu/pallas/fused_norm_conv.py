@@ -129,12 +129,19 @@ def _row_tile(h: int, dtype=None) -> int:
 
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
-                 res_mode: str = "none", emit_stats: bool = False):
+                 res_mode: str = "none", emit_stats: bool = False,
+                 dual: bool = False):
     """Row-tiled fused norm+silu+conv: grid (B, H/R). The halo rows ride in
     as thin pre-sliced (B, n_tiles, W, C) row arrays (xp = last row of the
     tile above, xn = first row of the tile below) — fetching them as whole
     neighbor tiles would re-read the entire input twice more. At the image
     edges they are zeroed (SAME zero padding).
+
+    dual=True: the logical input is concat(x1, x2) along C, but the concat
+    is NEVER materialized — both inputs ride in as separate row-tiled
+    triples and each conv tap contracts two channel-row slices of the full
+    weight block (the decoder's skip-concat pattern; GroupNorm groups never
+    straddle the concat boundary at ADM's 4-channels-per-group minimum).
 
     res_mode extends the kernel to the whole residual-block tail (the
     residual is the BLOCK input — a separate tensor riding in as one more
@@ -142,22 +149,32 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
       "identity": out += res (the block's skip when channels match)
       "proj":     out += res @ skip_w + skip_b (the 1x1 skip conv as a 10th
                   MXU matmul on the already-resident residual tile)
+      "proj2":    out += res1 @ skip_w[:C1] + res2 @ skip_w[C1:] + skip_b
+                  (the skip projection of an unmaterialized concat)
     emit_stats adds (B, O) channel sum / sumsq outputs of the final result,
     accumulated across row tiles — the next GroupNorm's stats pass for free.
     """
-    (xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
-     gmat_ref, w_ref, bias_ref), rest = refs[:10], refs[10:]
-    res_ref = skw_ref = skb_ref = None
+    (xp_ref, xc_ref, xn_ref), rest = refs[:3], refs[3:]
+    xp2_ref = xc2_ref = xn2_ref = None
+    if dual:
+        (xp2_ref, xc2_ref, xn2_ref), rest = rest[:3], rest[3:]
+    (gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, w_ref,
+     bias_ref), rest = rest[:7], rest[7:]
+    res_ref = res2_ref = skw_ref = skb_ref = None
     if res_mode == "identity":
         res_ref, rest = rest[0], rest[1:]
     elif res_mode == "proj":
         (res_ref, skw_ref, skb_ref), rest = rest[:3], rest[3:]
+    elif res_mode == "proj2":
+        (res_ref, res2_ref, skw_ref, skb_ref), rest = rest[:4], rest[4:]
     out_ref = rest[0]
     osums_ref = osumsq_ref = None
     if emit_stats:
         osums_ref, osumsq_ref = rest[1], rest[2]
     b, t = pl.program_id(0), pl.program_id(1)
-    r, wdt, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    r, wdt, c1 = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    c2 = xc2_ref.shape[3] if dual else 0
+    c = c1 + c2
     o = out_ref.shape[-1]
     mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
                             sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
@@ -167,41 +184,80 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
 
     top_live = (t > 0).astype(jnp.float32)
     bot_live = (t < n_tiles - 1).astype(jnp.float32)
-    top = xp_ref[0].astype(jnp.float32) * top_live  # (1, W, C)
-    bot = xn_ref[0].astype(jnp.float32) * bot_live
-    strip = jnp.concatenate([top, xc_ref[0].astype(jnp.float32), bot], axis=0)
+    # the matmuls run in the NETWORK dtype (bf16 in production): profiling
+    # showed fp32 dots made the kernels MXU-compute-bound (~1/4 MXU rate,
+    # 0.56 ms vs 0.08 ms roofline per res-128 call). The reference's own
+    # dtype flow casts the normalized activation to x.dtype before the conv
+    # (gn_silu_conv_reference), so this also matches reference numerics;
+    # accumulation stays fp32 (MXU native).
+    mm_dtype = xc_ref.dtype
 
-    y = strip * gamma + beta
-    y = y * jax.nn.sigmoid(y)
-    # off-image halo rows must contribute zeros to the conv: beta shifts the
-    # already-zeroed halo inputs, so re-zero the halo rows of y explicitly
-    top_row = jax.lax.slice(y, (0, 0, 0), (1, wdt, c)) * top_live
-    mid = jax.lax.slice(y, (1, 0, 0), (1 + r, wdt, c))
-    bot_row = jax.lax.slice(y, (1 + r, 0, 0), (2 + r, wdt, c)) * bot_live
-    y = jnp.concatenate([top_row, mid, bot_row], axis=0)
-    # zero-pad the W axis via concatenation (Mosaic lacks
-    # dynamic_update_slice on the TC core)
-    zcol = jnp.zeros((r + 2, 1, c), jnp.float32)
-    ypad = jnp.concatenate([zcol, y, zcol], axis=1)  # (R+2, W+2, C)
+    def norm_pad(xp, xc, xn, gamma_s, beta_s):
+        """(R+2, W+2, Ci) normalized, silu'd, halo/W-zero-padded strip."""
+        ci = xc.shape[3]
+        top = xp[0].astype(jnp.float32) * top_live  # (1, W, Ci)
+        bot = xn[0].astype(jnp.float32) * bot_live
+        strip = jnp.concatenate([top, xc[0].astype(jnp.float32), bot],
+                                axis=0)
+        y = strip * gamma_s + beta_s
+        y = y * jax.nn.sigmoid(y)
+        # off-image halo rows must contribute zeros to the conv: beta shifts
+        # the already-zeroed halo inputs, so re-zero them explicitly
+        top_row = jax.lax.slice(y, (0, 0, 0), (1, wdt, ci)) * top_live
+        mid = jax.lax.slice(y, (1, 0, 0), (1 + r, wdt, ci))
+        bot_row = jax.lax.slice(y, (1 + r, 0, 0), (2 + r, wdt, ci)) * bot_live
+        y = jnp.concatenate([top_row, mid, bot_row], axis=0).astype(mm_dtype)
+        # zero-pad the W axis via concatenation (Mosaic lacks
+        # dynamic_update_slice on the TC core)
+        zcol = jnp.zeros((r + 2, 1, ci), mm_dtype)
+        return jnp.concatenate([zcol, y, zcol], axis=1)
+
+    ypad = norm_pad(xp_ref, xc_ref, xn_ref,
+                    jax.lax.slice(gamma, (0, 0, 0), (1, 1, c1)),
+                    jax.lax.slice(beta, (0, 0, 0), (1, 1, c1)))
+    ypad2 = None
+    if dual:
+        ypad2 = norm_pad(xp2_ref, xc2_ref, xn2_ref,
+                         jax.lax.slice(gamma, (0, 0, c1), (1, 1, c)),
+                         jax.lax.slice(beta, (0, 0, c1), (1, 1, c)))
 
     # weights ride as a 2D (9*C, O) block; bias as (1, O) — Mosaic tiling
-    # rejects 1D blocks and >2D ref indexing here
+    # rejects 1D blocks and >2D ref indexing here. In dual mode each tap's
+    # C weight rows split into the x1 rows and the x2 rows.
     acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r * wdt, o))
     for dr in range(3):
         for dw in range(3):
-            blk = jax.lax.slice(ypad, (dr, dw, 0), (dr + r, dw + wdt, c))
-            blk = blk.reshape(r * wdt, c)
-            wk = w_ref[pl.ds((dr * 3 + dw) * c, c), :]
+            blk = jax.lax.slice(ypad, (dr, dw, 0), (dr + r, dw + wdt, c1))
+            blk = blk.reshape(r * wdt, c1)
+            wk = w_ref[pl.ds((dr * 3 + dw) * c, c1), :]
             acc = acc + jax.lax.dot_general(
                 blk, wk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if dual:
+                blk2 = jax.lax.slice(ypad2, (dr, dw, 0),
+                                     (dr + r, dw + wdt, c2))
+                blk2 = blk2.reshape(r * wdt, c2)
+                wk2 = w_ref[pl.ds((dr * 3 + dw) * c + c1, c2), :]
+                acc = acc + jax.lax.dot_general(
+                    blk2, wk2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
     if res_mode == "identity":
         acc = acc + res_ref[0].astype(jnp.float32).reshape(r * wdt, o)
     elif res_mode == "proj":
         cr = res_ref.shape[-1]
         acc = acc + jax.lax.dot_general(
-            res_ref[0].astype(jnp.float32).reshape(r * wdt, cr), skw_ref[:],
-            (((1,), (0,)), ((), ()))) + skb_ref[:].astype(jnp.float32)
+            res_ref[0].reshape(r * wdt, cr), skw_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + skb_ref[:].astype(jnp.float32)
+    elif res_mode == "proj2":
+        cr1, cr2 = res_ref.shape[-1], res2_ref.shape[-1]
+        acc = (acc + jax.lax.dot_general(
+            res_ref[0].reshape(r * wdt, cr1), skw_ref[pl.ds(0, cr1), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+            res2_ref[0].reshape(r * wdt, cr2), skw_ref[pl.ds(cr1, cr2), :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + skb_ref[:].astype(jnp.float32))
     out_ref[0] = acc.reshape(r, wdt, o).astype(out_ref.dtype)
     if emit_stats:
         @pl.when(t == 0)
@@ -216,10 +272,24 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
                                               keepdims=True)
 
 
+def _halo_rows(x, r):
+    """Thin halo-row arrays (B, n_tiles, W, C): tile t's top halo is the
+    last row of tile t-1 (x row t*R-1 = x_prev[t-1]); its bottom halo is the
+    first row of tile t+1 (x row (t+1)*R = x_next[t+1]). Fetching these as
+    1-row blocks costs 2*(H/R) rows of extra HBM traffic instead of the
+    2 full input passes whole-tile halo fetches would incur."""
+    return x[:, r - 1::r], x[:, ::r]
+
+
 def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
-                 residual=None, skip_w=None, skip_b=None, res_mode="none",
+                 x2=None, residual=None, residual2=None,
+                 skip_w=None, skip_b=None, res_mode="none",
                  emit_stats=False, stats=None):
-    b, h, wdt, c = x.shape
+    """x2: second half of an unmaterialized channel concat — gamma/beta/
+    stats/w are for the combined (C1+C2) input. residual2: second half of an
+    unmaterialized concat residual (res_mode='proj2')."""
+    b, h, wdt, c1 = x.shape
+    c = c1 + (x2.shape[-1] if x2 is not None else 0)
     o = w.shape[-1]
     n = h * wdt
     r = _row_tile(h, x.dtype)
@@ -229,30 +299,32 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
         sums, sumsq = stats
     else:
         tile = _tile_rows(n)  # guaranteed by _use_pallas
-        sums, sumsq = _compute_stats(x.reshape(b, n, c), tile)
+        if x2 is None:
+            sums, sumsq = _compute_stats(x.reshape(b, n, c), tile)
+        else:
+            s1, ss1 = _compute_stats(x.reshape(b, n, c1), tile)
+            s2, ss2 = _compute_stats(x2.reshape(b, n, c - c1), tile)
+            sums = jnp.concatenate([s1, s2], axis=-1)
+            sumsq = jnp.concatenate([ss1, ss2], axis=-1)
     gmat = jnp.asarray(_group_matrix(num_groups, c))
-    w2 = w.astype(jnp.float32).reshape(9 * c, o)  # (dr, dw, C, O) row-major
+    # weights in the network dtype — the kernel's matmuls run at native MXU
+    # rate for bf16 (fp32 nets keep fp32 weights and fp32 dots)
+    w2 = w.astype(x.dtype).reshape(9 * c, o)  # (dr, dw, C, O) row-major
     bias2 = (bias if bias is not None
              else jnp.zeros((o,))).astype(jnp.float32).reshape(1, o)
 
-    # thin halo-row arrays (B, n_tiles, W, C): tile t's top halo is the last
-    # row of tile t-1 (x row t*R-1 = x_prev[t-1]); its bottom halo is the
-    # first row of tile t+1 (x row (t+1)*R = x_next[t+1]). Fetching these as
-    # 1-row blocks costs 2*(H/R) rows of extra HBM traffic instead of the
-    # 2 full input passes whole-tile halo fetches would incur.
-    x_prev = x[:, r - 1::r]  # (B, n_tiles, W, C): rows R-1, 2R-1, ...
-    x_next = x[:, ::r]       # (B, n_tiles, W, C): rows 0, R, 2R, ...
-
-    def x_spec(_delta=0):
-        return pl.BlockSpec((1, r, wdt, c), lambda i, t: (i, t, 0, 0),
+    def x_spec(ci):
+        return pl.BlockSpec((1, r, wdt, ci), lambda i, t: (i, t, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    halo_prev_spec = pl.BlockSpec(
-        (1, 1, wdt, c), lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM)
-    halo_next_spec = pl.BlockSpec(
-        (1, 1, wdt, c), lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1), 0, 0),
-        memory_space=pltpu.VMEM)
+    def halo_specs(ci):
+        return (pl.BlockSpec((1, 1, wdt, ci),
+                             lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, wdt, ci),
+                             lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1),
+                                           0, 0),
+                             memory_space=pltpu.VMEM))
 
     out_spec = pl.BlockSpec((1, r, wdt, o), lambda i, t: (i, t, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -264,24 +336,34 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, o), lambda i, t: (0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [halo_prev_spec, x_spec(), halo_next_spec, vec_spec,
-                vec_spec, vec_spec, vec_spec, mat_spec, w_spec, bias_spec]
-    inputs = [x_prev, x, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2]
+    hp1, hn1 = halo_specs(c1)
+    x_prev, x_next = _halo_rows(x, r)
+    in_specs = [hp1, x_spec(c1), hn1]
+    inputs = [x_prev, x, x_next]
+    if x2 is not None:
+        hp2, hn2 = halo_specs(c - c1)
+        x2_prev, x2_next = _halo_rows(x2, r)
+        in_specs += [hp2, x_spec(c - c1), hn2]
+        inputs += [x2_prev, x2, x2_next]
+    in_specs += [vec_spec, vec_spec, vec_spec, vec_spec, mat_spec, w_spec,
+                 bias_spec]
+    inputs += [gamma, beta, sums, sumsq, gmat, w2, bias2]
     if res_mode != "none":
-        cr = residual.shape[-1]
-        in_specs.append(pl.BlockSpec((1, r, wdt, cr),
-                                     lambda i, t: (i, t, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(x_spec(residual.shape[-1]))
         inputs.append(residual)
-    if res_mode == "proj":
-        cr = residual.shape[-1]
-        in_specs += [pl.BlockSpec((cr, o), lambda i, t: (0, 0),
+    if res_mode == "proj2":
+        in_specs.append(x_spec(residual2.shape[-1]))
+        inputs.append(residual2)
+    if res_mode in ("proj", "proj2"):
+        crs = residual.shape[-1] + (residual2.shape[-1]
+                                    if res_mode == "proj2" else 0)
+        in_specs += [pl.BlockSpec((crs, o), lambda i, t: (0, 0),
                                   memory_space=pltpu.VMEM),
                      pl.BlockSpec((1, o), lambda i, t: (0, 0),
                                   memory_space=pltpu.VMEM)]
         skb2 = (skip_b if skip_b is not None
                 else jnp.zeros((o,))).astype(jnp.float32).reshape(1, o)
-        inputs += [skip_w.astype(jnp.float32), skb2]
+        inputs += [skip_w.astype(x.dtype), skb2]
     out_specs = out_spec
     out_shape = jax.ShapeDtypeStruct((b, h, wdt, o), x.dtype)
     if emit_stats:
@@ -293,7 +375,8 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                      jax.ShapeDtypeStruct((b, o), jnp.float32)]
     return pl.pallas_call(
         functools.partial(_gnsc_kernel, n=n, eps=eps, n_tiles=n_tiles,
-                          res_mode=res_mode, emit_stats=emit_stats),
+                          res_mode=res_mode, emit_stats=emit_stats,
+                          dual=x2 is not None),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -326,21 +409,26 @@ def fused_gn_silu_conv(x, gamma, beta, w, bias, num_groups: int,
 
 
 def fused_gn_silu_conv_block(x, gamma, beta, w, bias, num_groups: int,
-                             eps: float = 1e-5, *, residual=None,
-                             skip_w=None, skip_b=None, stats=None,
-                             emit_stats: bool = False):
+                             eps: float = 1e-5, *, x2=None, residual=None,
+                             residual2=None, skip_w=None, skip_b=None,
+                             stats=None, emit_stats: bool = False):
     """The whole residual-block tail in one kernel:
 
-        out = conv3x3_same(silu(group_norm(x) * gamma + beta)) + bias
-              [+ residual                    (identity skip; O == C_res)]
-              [+ residual @ skip_w + skip_b  (the 1x1 skip projection)]
+        out = conv3x3_same(silu(group_norm(xin) * gamma + beta)) + bias
+              [+ res                    (identity skip; O == C_res)]
+              [+ res @ skip_w + skip_b  (the 1x1 skip projection)]
+
+    where xin = x, or the never-materialized concat(x, x2) when `x2` is
+    given (the decoder's skip-concat input — both halves ride into the
+    kernel separately and each conv tap contracts two weight-row slices);
+    res = residual, or concat(residual, residual2) likewise.
 
     `residual` is the BLOCK input (a different tensor than x, which is the
     first conv's output — adm_blocks.py:158-171: norm1+silu+conv1+skip+add).
 
-    `stats`: optional (sums, sumsq) (B, C) fp32 channel statistics of x,
+    `stats`: optional (sums, sumsq) (B, C) fp32 channel statistics of xin,
     chained from the producing kernel's `emit_stats` — skips this kernel's
-    own stats pass over x (one full HBM read).
+    own stats pass (one full HBM read).
     `emit_stats`: additionally return (out, sums, sumsq) where sums/sumsq
     are (B, O) fp32 channel statistics of out (accumulated in VMEM from the
     fp32 accumulator) — the next GroupNorm's stats pass for free. Note they
@@ -351,84 +439,104 @@ def fused_gn_silu_conv_block(x, gamma, beta, w, bias, num_groups: int,
     reference composition (training traces run with fusion gated off, but
     gradients through this op are correct regardless).
     """
-    res_mode = "none" if residual is None else (
-        "proj" if skip_w is not None else "identity")
+    if residual2 is not None:
+        res_mode = "proj2"
+    elif residual is None:
+        res_mode = "none"
+    else:
+        res_mode = "proj" if skip_w is not None else "identity"
     zc = jnp.zeros((0,), jnp.float32)
     return _block_core(
         x, gamma, beta, w,
         bias if bias is not None else zc,
+        x2 if x2 is not None else zc,
         residual if residual is not None else zc,
+        residual2 if residual2 is not None else zc,
         skip_w if skip_w is not None else zc,
         skip_b if skip_b is not None else zc,
         stats[0] if stats is not None else zc,
         stats[1] if stats is not None else zc,
         num_groups, eps, res_mode, emit_stats,
-        bias is not None, skip_b is not None, stats is not None)
+        bias is not None, skip_b is not None, stats is not None,
+        x2 is not None)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
-def _block_core(x, gamma, beta, w, bias, residual, skip_w, skip_b,
-                sums_in, sumsq_in, num_groups, eps, res_mode, emit_stats,
-                has_bias, has_skip_b, has_stats):
-    out, _ = _block_fwd(x, gamma, beta, w, bias, residual, skip_w, skip_b,
-                        sums_in, sumsq_in, num_groups, eps, res_mode,
-                        emit_stats, has_bias, has_skip_b, has_stats)
+                   nondiff_argnums=(12, 13, 14, 15, 16, 17, 18, 19))
+def _block_core(x, gamma, beta, w, bias, x2, residual, residual2,
+                skip_w, skip_b, sums_in, sumsq_in,
+                num_groups, eps, res_mode, emit_stats,
+                has_bias, has_skip_b, has_stats, has_x2):
+    out, _ = _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
+                        skip_w, skip_b, sums_in, sumsq_in, num_groups, eps,
+                        res_mode, emit_stats, has_bias, has_skip_b,
+                        has_stats, has_x2)
     return out
 
 
-def _block_reference(x, gamma, beta, w, bias, residual, skip_w, skip_b,
-                     num_groups, eps, res_mode, emit_stats,
-                     has_bias, has_skip_b):
+def _block_reference(x, gamma, beta, w, bias, x2, residual, residual2,
+                     skip_w, skip_b, num_groups, eps, res_mode, emit_stats,
+                     has_bias, has_skip_b, has_x2):
+    xin = jnp.concatenate([x, x2], axis=-1) if has_x2 else x
+    res = residual if res_mode != "none" else None
+    if res_mode == "proj2":
+        res = jnp.concatenate([residual, residual2], axis=-1)
     out = gn_silu_conv_block_reference(
-        x, gamma, beta, w, bias if has_bias else None, num_groups, eps,
-        residual=residual if res_mode != "none" else None,
-        skip_w=skip_w if res_mode == "proj" else None,
-        skip_b=skip_b if (res_mode == "proj" and has_skip_b) else None)
+        xin, gamma, beta, w, bias if has_bias else None, num_groups, eps,
+        residual=res,
+        skip_w=skip_w if res_mode in ("proj", "proj2") else None,
+        skip_b=(skip_b if (res_mode in ("proj", "proj2") and has_skip_b)
+                else None))
     if emit_stats:
         osums, osumsq = _out_stats_reference(out)
         return out, osums, osumsq
     return out
 
 
-def _block_fwd(x, gamma, beta, w, bias, residual, skip_w, skip_b,
-               sums_in, sumsq_in, num_groups, eps, res_mode, emit_stats,
-               has_bias, has_skip_b, has_stats):
+def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
+               skip_w, skip_b, sums_in, sumsq_in, num_groups, eps,
+               res_mode, emit_stats, has_bias, has_skip_b, has_stats,
+               has_x2):
     if _use_pallas(x):
         out = _pallas_gnsc(
             x, gamma, beta, w, bias if has_bias else None, num_groups, eps,
+            x2=x2 if has_x2 else None,
             residual=residual if res_mode != "none" else None,
-            skip_w=skip_w if res_mode == "proj" else None,
-            skip_b=skip_b if (res_mode == "proj" and has_skip_b) else None,
+            residual2=residual2 if res_mode == "proj2" else None,
+            skip_w=skip_w if res_mode in ("proj", "proj2") else None,
+            skip_b=(skip_b if (res_mode in ("proj", "proj2") and has_skip_b)
+                    else None),
             res_mode=res_mode, emit_stats=emit_stats,
             stats=(sums_in, sumsq_in) if has_stats else None)
         if emit_stats:
             out = tuple(out)  # pallas_call returns a list
     else:
-        out = _block_reference(x, gamma, beta, w, bias, residual, skip_w,
-                               skip_b, num_groups, eps, res_mode, emit_stats,
-                               has_bias, has_skip_b)
-    return out, (x, gamma, beta, w, bias, residual, skip_w, skip_b,
-                 sums_in, sumsq_in)
+        out = _block_reference(x, gamma, beta, w, bias, x2, residual,
+                               residual2, skip_w, skip_b, num_groups, eps,
+                               res_mode, emit_stats, has_bias, has_skip_b,
+                               has_x2)
+    return out, (x, gamma, beta, w, bias, x2, residual, residual2,
+                 skip_w, skip_b, sums_in, sumsq_in)
 
 
 def _block_bwd(num_groups, eps, res_mode, emit_stats, has_bias, has_skip_b,
-               has_stats, residuals, g):
-    (x, gamma, beta, w, bias, residual, skip_w, skip_b,
+               has_stats, has_x2, residuals, g):
+    (x, gamma, beta, w, bias, x2, residual, residual2, skip_w, skip_b,
      sums_in, sumsq_in) = residuals
 
-    def f(x, gamma, beta, w, bias, residual, skip_w, skip_b):
-        return _block_reference(x, gamma, beta, w, bias, residual, skip_w,
-                                skip_b, num_groups, eps, res_mode,
-                                emit_stats, has_bias, has_skip_b)
+    def f(x, gamma, beta, w, bias, x2, residual, residual2, skip_w, skip_b):
+        return _block_reference(x, gamma, beta, w, bias, x2, residual,
+                                residual2, skip_w, skip_b, num_groups, eps,
+                                res_mode, emit_stats, has_bias, has_skip_b,
+                                has_x2)
 
-    _, vjp = jax.vjp(f, x, gamma, beta, w, bias, residual, skip_w, skip_b)
-    dx, dgamma, dbeta, dw, dbias, dres, dskw, dskb = vjp(g)
+    _, vjp = jax.vjp(f, x, gamma, beta, w, bias, x2, residual, residual2,
+                     skip_w, skip_b)
+    grads = vjp(g)
     # provided stats duplicate what the reference recomputes from x, so the
     # full gradient flows through the recompute path; stats get zero
     # cotangents (shape-matched to their primals)
-    return (dx, dgamma, dbeta, dw, dbias, dres, dskw, dskb,
-            jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
+    return grads + (jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
 
 
 _block_core.defvjp(_block_fwd, _block_bwd)

@@ -367,6 +367,106 @@ class TestFusedNormConv:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=4e-4, atol=4e-5)
 
+    def test_dual_input_block_pallas_interpret(self):
+        """Dual-input kernel (unmaterialized concat + proj2 residual +
+        chained stats + emitted stats) in interpret mode vs the
+        concat-then-reference composition."""
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        rs = np.random.RandomState(21)
+        B_, H, W_, C1, C2, O = 2, 32, 16, 32, 16, 48
+        x1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        x2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        C = C1 + C2
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B_, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B_, C).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        r1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        r2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(C, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        cat = jnp.concatenate([x1, x2], -1).reshape(B_, H * W_, C)
+        stats = (jnp.sum(cat, 1), jnp.sum(cat * cat, 1))
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            fnc.pl.pallas_call = pl.pallas_call
+            out, osums, osumsq = fnc._pallas_gnsc(
+                x1, gamma, beta, w, bias, G, 1e-5, x2=x2, residual=r1,
+                residual2=r2, skip_w=skw, skip_b=skb, res_mode="proj2",
+                emit_stats=True, stats=stats)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+            fnc.pl.pallas_call = orig_call
+        ref = fnc.gn_silu_conv_block_reference(
+            jnp.concatenate([x1, x2], -1), gamma, beta, w, bias, G, 1e-5,
+            residual=jnp.concatenate([r1, r2], -1), skip_w=skw, skip_b=skb)
+        rsums, rsumsq = fnc._out_stats_reference(ref)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(osumsq), np.asarray(rsumsq),
+                                   rtol=2e-4, atol=5e-3)
+
+    def test_admunet_chain_toggle_same_outputs(self):
+        """Full AdmUNet forward: stats-chained dual-input path == fusion-off
+        path on CPU (pins the encoder/decoder stats-flow plumbing)."""
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=32,
+                            ch_mult=(1, 1), num_res_blocks=1,
+                            attn_resolutions=(16,), resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([1.5, 0.3])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        out_chain = net.apply(params, x, t)
+        with disable_conv_fusion():
+            out_off = net.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(out_chain),
+                                   np.asarray(out_off),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_upsample_phase_conv_matches_materialized(self):
+        """Phase-decomposed upsample+conv3x3 == conv3x3(nearest_upsample)."""
+        from m_cedm_tpu.models.layers import (_upsample_phase_conv,
+                                              upsample2x_nearest)
+
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(2, 16, 12, 24).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 24, 40).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(40).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            upsample2x_nearest(x), w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        got = _upsample_phase_conv(x, w, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_down_block_fusion_toggle_same_outputs(self):
+        """A down-sampling UNetBlock (pool-fused prefix + fused tail) is
+        identical with fusion on/off on CPU."""
+        from m_cedm_tpu.models.adm_unet import UNetBlock
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        block = UNetBlock(out_channels=32, down=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        params = block.init(jax.random.PRNGKey(2), x, emb)
+        out_fused = block.apply(params, x, emb)
+        with disable_conv_fusion():
+            out_unfused = block.apply(params, x, emb)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_unfused),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_unet_block_fusion_toggle_same_outputs(self):
         """A UNetBlock forward is identical with fusion enabled/disabled
         (on CPU both route to the same reference math; this pins the module
