@@ -425,8 +425,9 @@ class GroupNormSiLU(nn.Module):
                                             self.eps)
         elif stats is not None:
             # chained channel stats from the producing kernel's emit_stats
-            out = fused_group_norm_silu_stats(x2, gamma, beta, stats,
-                                              self.num_groups, self.eps)
+            out = fused_group_norm_silu_stats(x2, gamma, beta, stats[0],
+                                              stats[1], self.num_groups,
+                                              self.eps)
         else:
             out = fused_group_norm_silu(x2, gamma, beta, self.num_groups,
                                         self.eps)

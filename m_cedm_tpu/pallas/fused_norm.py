@@ -259,18 +259,40 @@ def fused_group_norm_silu(x, gamma, beta, num_groups: int, eps: float = 1e-5):
     return out
 
 
-def fused_group_norm_silu_stats(x, gamma, beta, stats, num_groups: int,
-                                eps: float = 1e-5):
-    """fused_group_norm_silu with externally-chained (sums, sumsq) (B, C)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_group_norm_silu_stats(x, gamma, beta, sums_in, sumsq_in,
+                                num_groups: int, eps: float = 1e-5):
+    """fused_group_norm_silu with externally-chained sums/sumsq (B, C)
     statistics (from a producing kernel's emit_stats) — skips the stats
-    pass over x. Forward-only (the chained-stats path only runs in
-    fusion-enabled inference traces)."""
+    pass over x. Backward recomputes the reference composition from x (the
+    chained stats duplicate what the reference derives internally, so the
+    full gradient flows through the recompute path and the stats get zero
+    cotangents)."""
     tile = _tile_rows(x.shape[1])
     if not pallas_enabled() or tile is None:
         return group_norm_silu_reference(x, gamma, beta, num_groups, eps)
     out, _, _ = _pallas_forward(x, gamma, beta, num_groups, eps, tile,
-                                stats=stats)
+                                stats=(sums_in, sumsq_in))
     return out
+
+
+def _fgns_stats_fwd(x, gamma, beta, sums_in, sumsq_in, num_groups, eps):
+    out = fused_group_norm_silu_stats(x, gamma, beta, sums_in, sumsq_in,
+                                      num_groups, eps)
+    return out, (x, gamma, beta, sums_in, sumsq_in)
+
+
+def _fgns_stats_bwd(num_groups, eps, residuals, g):
+    x, gamma, beta, sums_in, sumsq_in = residuals
+    _, vjp = jax.vjp(
+        lambda xx, gg, bb: group_norm_silu_reference(xx, gg, bb, num_groups,
+                                                     eps), x, gamma, beta)
+    dx, dgamma, dbeta = vjp(g)
+    return (dx, dgamma, dbeta,
+            jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
+
+
+fused_group_norm_silu_stats.defvjp(_fgns_stats_fwd, _fgns_stats_bwd)
 
 
 def _fgns_fwd(x, gamma, beta, num_groups, eps):

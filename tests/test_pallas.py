@@ -433,6 +433,20 @@ class TestFusedNormConv:
         np.testing.assert_allclose(np.asarray(out_chain),
                                    np.asarray(out_off),
                                    rtol=1e-4, atol=1e-5)
+        # gradients through the chained path (MCEDM_TRAIN_FUSION=1
+        # semantics: fusion stays on under autodiff)
+        g_chain = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(
+            params)
+
+        def loss_off(p):
+            with disable_conv_fusion():
+                return jnp.sum(jnp.sin(net.apply(p, x, t)))
+
+        g_off = jax.grad(loss_off)(params)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_chain),
+                         jax.tree_util.tree_leaves(g_off)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4)
 
     def test_upsample_phase_conv_matches_materialized(self):
         """Phase-decomposed upsample+conv3x3 == conv3x3(nearest_upsample)."""
