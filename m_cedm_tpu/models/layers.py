@@ -86,8 +86,9 @@ def conv_fusion_enabled() -> bool:
 class disable_conv_fusion:
     """Context manager: trace grad-bearing graphs with conv fusion off
     (the custom-vjp recompute backward measured slower than XLA autodiff of
-    the unfused composition). MCEDM_TRAIN_FUSION=1 makes this a no-op so
-    train-side fusion can be re-A/B'd as the kernels evolve."""
+    the unfused composition: 64.1 vs 45.1 ms/step same-session with the
+    round-2 block kernels, B=16 res128 bf16). MCEDM_TRAIN_FUSION=1 makes
+    this a no-op so train-side fusion can be re-A/B'd as kernels evolve."""
 
     def __enter__(self):
         import os
@@ -199,6 +200,7 @@ def _upsample_phase_conv(x, w, bias):
     return out
 
 
+@jax.custom_vjp
 def downsample2x_mean(x):
     """Exact equivalent of the EDM depthwise conv(f, stride 2) downsample for
     resample_filter=[1,1]: 2x2 mean pooling. x: (B, H, W, C).
@@ -206,10 +208,24 @@ def downsample2x_mean(x):
     Written as dtype-preserving pairwise adds: jnp.mean promotes the
     accumulation to fp32, which XLA lowers to a full-tensor convert + fp32
     reduce (~2x the traffic; profiled at ~400us/call at the flagship shape
-    vs ~150us for the fused strided-slice adds)."""
+    vs ~150us for the fused strided-slice adds). The custom VJP keeps the
+    backward at mean-pooling cost (nearest-upsample of g / 4) instead of
+    the pad-scatter XLA derives for strided slices."""
     a = x[:, 0::2] + x[:, 1::2]
     b = a[:, :, 0::2] + a[:, :, 1::2]
     return b * jnp.asarray(0.25, x.dtype)
+
+
+def _ds2x_fwd(x):
+    return downsample2x_mean(x), None
+
+
+def _ds2x_bwd(_, g):
+    g = jnp.repeat(jnp.repeat(g, 2, axis=1), 2, axis=2)
+    return (g * jnp.asarray(0.25, g.dtype),)
+
+
+downsample2x_mean.defvjp(_ds2x_fwd, _ds2x_bwd)
 
 
 class Conv2d(nn.Module):

@@ -284,11 +284,14 @@ def _fgns_stats_fwd(x, gamma, beta, sums_in, sumsq_in, num_groups, eps):
 
 def _fgns_stats_bwd(num_groups, eps, residuals, g):
     x, gamma, beta, sums_in, sumsq_in = residuals
-    _, vjp = jax.vjp(
+    ref_out, vjp = jax.vjp(
         lambda xx, gg, bb: group_norm_silu_reference(xx, gg, bb, num_groups,
                                                      eps), x, gamma, beta)
-    dx, dgamma, dbeta = vjp(g)
-    return (dx, dgamma, dbeta,
+    # the pallas primal returns x.dtype while the reference recompute runs
+    # (and expects cotangents) in its promoted dtype — cast both ways
+    dx, dgamma, dbeta = vjp(g.astype(ref_out.dtype))
+    return (dx.astype(x.dtype), dgamma.astype(gamma.dtype),
+            dbeta.astype(beta.dtype),
             jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
 
 
