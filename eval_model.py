@@ -20,7 +20,7 @@ from m_cedm_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_dir
 from m_cedm_tpu.train.loop import Trainer
 from m_cedm_tpu.train.metrics import MetricsLogger
 from m_cedm_tpu.utils import get_logger, override_data_folders
-from run import build_run_dir, parse_args
+from run import build_run_dir, parse_args, split_hydra_overrides
 
 log = get_logger(__name__)
 
@@ -28,7 +28,8 @@ log = get_logger(__name__)
 def main(argv=None) -> float:
     args = parse_args(argv)
     distributed_init()
-    cfg = compose(args.config_path, args.config_name, args.overrides)
+    job_overrides, _ = split_hydra_overrides(args.overrides)
+    cfg = compose(args.config_path, args.config_name, job_overrides)
 
     res = cfg.get("res", 128)
     n_train = cfg.get("n_train", 1000)

@@ -32,7 +32,11 @@ log = get_logger(__name__)
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config-name", default="config.yaml")
-    p.add_argument("--config-path", default="configs")
+    # like @hydra.main(config_path=...): resolved relative to this script,
+    # not the cwd (runs launched from any directory find the repo configs)
+    p.add_argument("--config-path",
+                   default=os.path.join(os.path.dirname(
+                       os.path.abspath(__file__)), "configs"))
     p.add_argument("-m", "--multirun", action="store_true",
                    help="hydra --multirun parity: overrides like "
                         "'lr=tag(log, interval(1e-4, 1e-2))' define the "
@@ -52,6 +56,21 @@ def build_run_dir(cfg) -> str:
                         f"{cfg.get('name', 'run')}{cfg.get('subname', '')}{stamp}")
 
 
+def split_hydra_overrides(overrides):
+    """Hydra consumes `hydra.*` overrides itself rather than composing them
+    into the job config (reference CLI surface: `hydra.run.dir=...` sets the
+    output directory). Returns (job_overrides, hydra_cfg)."""
+    job, hydra_cfg = [], {}
+    for o in overrides:
+        key = o.split("=", 1)[0].lstrip("+")
+        if key == "hydra" or key.startswith("hydra."):
+            k, _, v = o.partition("=")
+            hydra_cfg[k.lstrip("+")] = v
+        else:
+            job.append(o)
+    return job, hydra_cfg
+
+
 def main(argv=None) -> float:
     args = parse_args(argv)
     if args.multirun:
@@ -67,7 +86,8 @@ def main(argv=None) -> float:
                          seed=int(next((o.split("=")[1] for o in constants
                                         if o.startswith("seed=")), 0)))
     distributed_init()
-    cfg = compose(args.config_path, args.config_name, args.overrides)
+    job_overrides, hydra_cfg = split_hydra_overrides(args.overrides)
+    cfg = compose(args.config_path, args.config_name, job_overrides)
 
     res = cfg.get("res", 128)
     n_train = cfg.get("n_train", 1000)
@@ -81,7 +101,7 @@ def main(argv=None) -> float:
     seed = cfg.get("seed", 0)
     np.random.seed(seed)
 
-    out_dir = build_run_dir(cfg)
+    out_dir = hydra_cfg.get("hydra.run.dir") or build_run_dir(cfg)
     sampler_name = (cfg.get("diff_sampler") or {}).get("name", "")
     run_name = f"{model_name}_{dataset}_{seed}{sampler_name}{cfg.get('subname', '')}"
     logger = MetricsLogger(out_dir, run_name=run_name, use_wandb=True)
