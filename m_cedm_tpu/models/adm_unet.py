@@ -406,9 +406,28 @@ class AdmUNet(nn.Module):
                                x2=skip, in_stats=cat_stats)
         assert not skips
 
+        from m_cedm_tpu.models.layers import out_head_mode
+
         out_norm = GroupNormSiLU(_adm_groups(cout), name="out_norm")
         out_conv = Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")
         if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)
             return out_conv(x, fused_norm=(g, b, _adm_groups(cout), 1e-5))
+        if (use_chain and out_head_mode() == "pad"
+                and cfg.out_ch < x.shape[-1]):
+            # fused out head with the output channels zero-padded to the
+            # input width: full-lane Pallas stores (direct out_ch-lane
+            # stores measured +192 ms on the sampler), then a cheap slice.
+            # Zero weight columns cost only free MXU flops.
+            from m_cedm_tpu.pallas.fused_norm_conv import \
+                fused_gn_silu_conv_block
+
+            g, b = out_norm(x, fold_only=True)
+            w, bias_ = out_conv(x, params_only=True)
+            pad_o = x.shape[-1] - cfg.out_ch
+            w_pad = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+            b_pad = jnp.pad(bias_, ((0, pad_o),))
+            out64 = fused_gn_silu_conv_block(
+                x, g, b, w_pad, b_pad, _adm_groups(cout), 1e-5, stats=stats)
+            return out64[..., :cfg.out_ch]
         return out_conv(out_norm(x, stats=stats))

@@ -66,13 +66,26 @@ def stats_chain_enabled() -> bool:
 
 
 def out_fusion_enabled() -> bool:
-    """Gate for the fused out_norm+out_conv head. Default OFF: the O=2
-    output write measured +192 ms on the 50-step sampler (see
+    """Gate for the direct fused out_norm+out_conv head. Default OFF: the
+    O=2 output write measured +192 ms on the 50-step sampler (see
     block_fusion_enabled docstring) — enable with MCEDM_BLOCK_FUSION=all
-    only to re-measure."""
+    only to re-measure. See out_head_mode() for the padded variant."""
     import os
 
     return os.environ.get("MCEDM_BLOCK_FUSION", "1") == "all"
+
+
+def out_head_mode() -> str:
+    """How the out_norm+out_conv head runs (MCEDM_OUT_HEAD):
+      "xla" (default): chained-stats norm kernel + XLA conv
+      "pad": fused kernel writing zero-padded full-lane output channels +
+             an XLA slice to out_ch — measured MUCH slower (1297.6 vs
+             1068.0 ms on the 50-step sampler; the minor-dim slice reads
+             whole padded tiles), like every other attempt to beat XLA's
+             narrow-channel handling on this backend"""
+    import os
+
+    return os.environ.get("MCEDM_OUT_HEAD", "xla")
 
 
 def conv_fusion_enabled() -> bool:
