@@ -821,6 +821,28 @@ class DdimTask(DiffusionTaskBase):
         if split == "test":
             metrics["test_mae_hu_un"] = loss_hu_un
             metrics["test_pde_loss_gt"] = pde_gt
+            # known-region consistency oracles (ddim.py:459-480): when the
+            # time mask is partial, the loss on the clamped known region
+            # should be ~0 — wandb-key parity with the reference's test_step
+            t_all = state_gt.shape[1]
+            if 0 < n_time_h < t_all:
+                metrics["test_h_known"] = mae(h_last[:, :n_time_h],
+                                              h[:, :n_time_h])
+                metrics["test_h_kn_scaled"] = mae(
+                    xs_scaled_mean[:, :n_time_h, :, :h_ch],
+                    gt_scaled[:, :n_time_h, :, :h_ch])
+                metrics["test_h_unkn_scaled"] = mae(
+                    xs_scaled_mean[:, n_time_h:, :, :h_ch],
+                    gt_scaled[:, n_time_h:, :, :h_ch])
+            if t_all > n_time_u > 0:
+                metrics["test_u_known"] = mae(u_last[:, :n_time_u],
+                                              u[:, :n_time_u])
+                metrics["test_u_kn_scaled"] = mae(
+                    xs_scaled_mean[:, :n_time_u, :, h_ch:h_ch + u_ch],
+                    gt_scaled[:, :n_time_u, :, h_ch:h_ch + u_ch])
+                metrics["test_u_unkn_scaled"] = mae(
+                    xs_scaled_mean[:, n_time_u:, :, h_ch:h_ch + u_ch],
+                    gt_scaled[:, n_time_u:, :, h_ch:h_ch + u_ch])
         return metrics, hu_mean
 
 

@@ -152,6 +152,30 @@ class TestDdimTask:
                     "test_pde_loss_gt"}
         assert set(metrics) == expected
 
+    def test_known_region_metric_family(self):
+        """Partial time masks emit the reference's known-region oracles
+        (ddim.py:459-480) and the clamped known region scores ~0."""
+        self.task.set_test_sampler_params(
+            dict(self.task.test_sparams, n_time_h=RES // 2,
+                 n_time_u=RES // 4))
+        metrics, _ = self.task.eval_step(self.state, self.batch,
+                                         jax.random.PRNGKey(3),
+                                         split="test", n_samples=2)
+        for k in ("test_h_known", "test_h_kn_scaled", "test_h_unkn_scaled",
+                  "test_u_known", "test_u_kn_scaled", "test_u_unkn_scaled"):
+            assert k in metrics, k
+        # repaint clamps the known region to the gt at the last step
+        assert float(metrics["test_h_known"]) < 1e-4
+        assert float(metrics["test_u_known"]) < 1e-4
+        # full-time-mask evals must not emit the family (reference gating)
+        self.task.set_test_sampler_params(
+            dict(self.task.test_sparams, n_time_h=RES, n_time_u=0))
+        metrics2, _ = self.task.eval_step(self.state, self.batch,
+                                          jax.random.PRNGKey(3),
+                                          split="test", n_samples=1)
+        assert "test_h_known" not in metrics2
+        assert "test_u_known" not in metrics2
+
     def test_eval_ddim_sampler(self):
         self.task.set_test_sampler_params(
             dict(self.task.test_sparams, type="ddim", skip_type="uniform",
