@@ -20,7 +20,8 @@ from m_cedm_tpu.train.checkpoint import CheckpointManager, resolve_ckpt_dir
 from m_cedm_tpu.train.loop import Trainer
 from m_cedm_tpu.train.metrics import MetricsLogger
 from m_cedm_tpu.utils import get_logger, override_data_folders
-from run import build_run_dir, parse_args, split_hydra_overrides
+from run import (build_run_dir, hydra_setting, parse_args,
+                 split_hydra_overrides, warn_unconsumed_hydra)
 
 log = get_logger(__name__)
 
@@ -28,8 +29,10 @@ log = get_logger(__name__)
 def main(argv=None) -> float:
     args = parse_args(argv)
     distributed_init()
-    job_overrides, _ = split_hydra_overrides(args.overrides)
-    cfg = compose(args.config_path, args.config_name, job_overrides)
+    job_overrides, hydra_cli = split_hydra_overrides(args.overrides)
+    warn_unconsumed_hydra(hydra_cli, consumed={"hydra.run.dir"})
+    cfg, hydra_block = compose(args.config_path, args.config_name,
+                               job_overrides, return_hydra=True)
 
     res = cfg.get("res", 128)
     n_train = cfg.get("n_train", 1000)
@@ -39,7 +42,9 @@ def main(argv=None) -> float:
     if cfg.get("diff_sampler") is not None and cfg.diff_sampler.get("n_samples") == 100:
         cfg.datamodule.test_batch_size = 1
 
-    out_dir = build_run_dir(cfg)
+    out_dir = (hydra_cli.get("hydra.run.dir")
+               or hydra_setting(hydra_block, {}, "hydra.run.dir")
+               or build_run_dir(cfg))
     logger = MetricsLogger(out_dir, run_name=f"eval_{cfg.model.hparams.name}")
     logger.log_config(to_plain(cfg))
 

@@ -140,8 +140,16 @@ def apply_override(cfg: dict, dotted_key: str, raw_value: str) -> None:
 
 
 def compose(config_dir: str, config_name: str,
-            overrides: Optional[List[str]] = None) -> DotDict:
-    """Compose a top-level config exactly like `hydra.main` would."""
+            overrides: Optional[List[str]] = None,
+            return_hydra: bool = False) -> DotDict:
+    """Compose a top-level config exactly like `hydra.main` would.
+
+    return_hydra=True additionally returns the config's `hydra:` block
+    (run/sweep dirs, sweeper settings — reference
+    configs/config_adm_edm_mcedm_res32.yaml:20-33) with its interpolations
+    resolved against the composed job config; hydra itself consumes this
+    node rather than exposing it in the job config, and so do the drivers
+    here (run.py/eval_model.py/sweep.py)."""
     if not config_name.endswith(".yaml"):
         config_name += ".yaml"
     top = _load_yaml(os.path.join(config_dir, config_name))
@@ -182,7 +190,7 @@ def compose(config_dir: str, config_name: str,
     if "_self_" not in defaults:
         merged = _deep_merge(merged, top)
 
-    merged.pop("hydra", None)
+    hydra_block = merged.pop("hydra", None) or {}
     cfg = to_dotdict(merged)
     for ov in remaining_cli:
         if "=" not in ov:
@@ -190,7 +198,13 @@ def compose(config_dir: str, config_name: str,
         k, v = ov.split("=", 1)
         apply_override(cfg, k, v)
 
-    return to_dotdict(_resolve_interp(to_plain(cfg), to_plain(cfg)))
+    plain = to_plain(cfg)
+    cfg = to_dotdict(_resolve_interp(plain, plain))
+    if return_hydra:
+        # hydra-internal refs (${hydra.job.num}) stay unresolved; the sweep
+        # driver substitutes the trial number itself
+        return cfg, to_dotdict(_resolve_interp(to_plain(hydra_block), plain))
+    return cfg
 
 
 # --------------------------------------------------------------------------

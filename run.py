@@ -40,11 +40,13 @@ def parse_args(argv=None):
     p.add_argument("-m", "--multirun", action="store_true",
                    help="hydra --multirun parity: overrides like "
                         "'lr=tag(log, interval(1e-4, 1e-2))' define the "
-                        "search space; runs the TPE sweep (15 trials, "
-                        "minimize — reference hydra.sweeper block)")
-    p.add_argument("--n-trials", type=int, default=15,
-                   help="sweep trials under --multirun "
-                        "(reference hydra.sweeper.n_trials)")
+                        "search space; runs the TPE sweep configured by the "
+                        "config's hydra.sweeper block (n_trials/n_jobs/"
+                        "study_name/sampler.seed, minimize)")
+    p.add_argument("--n-trials", type=int, default=None,
+                   help="sweep trials under --multirun (overrides the "
+                        "config's hydra.sweeper.n_trials; a CLI "
+                        "hydra.sweeper.n_trials=N override wins over both)")
     p.add_argument("overrides", nargs="*", help="hydra-style key=value overrides")
     return p.parse_args(argv)
 
@@ -71,23 +73,75 @@ def split_hydra_overrides(overrides):
     return job, hydra_cfg
 
 
+# hydra.* CLI keys the drivers actually consume; anything else is a likely
+# typo and gets a visible warning instead of being silently swallowed
+_CONSUMED_HYDRA_KEYS = frozenset({
+    "hydra.run.dir", "hydra.sweep.dir", "hydra.sweeper.n_trials",
+    "hydra.sweeper.n_jobs", "hydra.sweeper.study_name",
+    "hydra.sweeper.sampler.seed",
+})
+
+
+def warn_unconsumed_hydra(hydra_cli, consumed=_CONSUMED_HYDRA_KEYS):
+    for k in hydra_cli:
+        if k not in consumed:
+            log.warning(f"hydra override {k!r} is not supported by this "
+                        f"driver and is ignored")
+
+
+def hydra_setting(hydra_block, hydra_cli, dotted_key, default=None):
+    """Resolve a `hydra.x.y` setting: CLI override wins over the config's
+    `hydra:` block (reference sweeper surface, e.g.
+    `hydra.sweeper.n_trials=30` on the command line)."""
+    import yaml
+
+    if dotted_key in hydra_cli:
+        return yaml.safe_load(hydra_cli[dotted_key])
+    node = hydra_block or {}
+    for part in dotted_key.split(".")[1:]:
+        if not isinstance(node, dict) or part not in node:
+            return default
+        node = node[part]
+    return default if node is None else node
+
+
 def main(argv=None) -> float:
     args = parse_args(argv)
     if args.multirun:
         from sweep import run_sweep, split_multirun_overrides
 
-        constants, space = split_multirun_overrides(args.overrides)
+        job_overrides, hydra_cli = split_hydra_overrides(args.overrides)
+        warn_unconsumed_hydra(hydra_cli)
+        constants, space = split_multirun_overrides(job_overrides)
         if not space:
             raise SystemExit(
                 "--multirun needs at least one sweep override, e.g. "
                 "'model.hparams.lr=tag(log, interval(1e-4, 1e-2))'")
-        return run_sweep(args.config_name, args.config_path, constants, space,
-                         n_trials=args.n_trials,
-                         seed=int(next((o.split("=")[1] for o in constants
-                                        if o.startswith("seed=")), 0)))
+        # sweeper settings come from the config's hydra block (reference
+        # configs/config_*.yaml hydra.sweeper), CLI hydra.sweeper.* wins
+        _, hydra_block = compose(args.config_path, args.config_name,
+                                 constants, return_hydra=True)
+        n_trials = args.n_trials or hydra_setting(
+            hydra_block, {}, "hydra.sweeper.n_trials", 15)
+        if "hydra.sweeper.n_trials" in hydra_cli:
+            n_trials = hydra_setting(hydra_block, hydra_cli,
+                                     "hydra.sweeper.n_trials")
+        return run_sweep(
+            args.config_name, args.config_path, constants, space,
+            n_trials=int(n_trials),
+            seed=int(hydra_setting(hydra_block, hydra_cli,
+                                   "hydra.sweeper.sampler.seed", 0)),
+            n_jobs=int(hydra_setting(hydra_block, hydra_cli,
+                                     "hydra.sweeper.n_jobs", 1)),
+            study_name=hydra_setting(hydra_block, hydra_cli,
+                                     "hydra.sweeper.study_name"),
+            sweep_dir=hydra_setting(hydra_block, hydra_cli,
+                                    "hydra.sweep.dir"))
     distributed_init()
     job_overrides, hydra_cfg = split_hydra_overrides(args.overrides)
-    cfg = compose(args.config_path, args.config_name, job_overrides)
+    warn_unconsumed_hydra(hydra_cfg)
+    cfg, hydra_block = compose(args.config_path, args.config_name,
+                               job_overrides, return_hydra=True)
 
     res = cfg.get("res", 128)
     n_train = cfg.get("n_train", 1000)
@@ -101,7 +155,9 @@ def main(argv=None) -> float:
     seed = cfg.get("seed", 0)
     np.random.seed(seed)
 
-    out_dir = hydra_cfg.get("hydra.run.dir") or build_run_dir(cfg)
+    out_dir = (hydra_cfg.get("hydra.run.dir")
+               or hydra_setting(hydra_block, {}, "hydra.run.dir")
+               or build_run_dir(cfg))
     sampler_name = (cfg.get("diff_sampler") or {}).get("name", "")
     run_name = f"{model_name}_{dataset}_{seed}{sampler_name}{cfg.get('subname', '')}"
     logger = MetricsLogger(out_dir, run_name=run_name, use_wandb=True)

@@ -24,10 +24,14 @@ Space syntax (both accepted):
 from __future__ import annotations
 
 import argparse
+import functools
+import itertools
 import json
 import math
+import os
 import random
 import re
+import threading
 from typing import Dict, List, Tuple
 
 from m_cedm_tpu.tpe import TPESampler
@@ -109,29 +113,84 @@ def _format(v) -> str:
 # sweep core
 # ---------------------------------------------------------------------------
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _subprocess_objective(config_name: str, config_path: str,
+                          overrides: List[str]) -> float:
+    """Run one trial as `python run.py ...` in a fresh process and parse the
+    returned objective. This is the n_jobs>1 trial executor (the reference's
+    hydra.sweeper n_jobs=2 trial parallelism, joblib-launcher equivalent):
+    separate processes keep the trials' jit caches, RNG and logging state
+    fully isolated."""
+    import subprocess
+    import sys
+
+    code = ("import json, sys\n"
+            "import run\n"
+            "v = run.main(json.loads(sys.argv[1]))\n"
+            "print('SWEEP_OBJECTIVE=' + repr(float(v)))\n")
+    argv = ([f"--config-name={config_name}", f"--config-path={config_path}"]
+            + overrides)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [_REPO_ROOT] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    proc = subprocess.run([sys.executable, "-c", code, json.dumps(argv)],
+                          capture_output=True, text=True, cwd=_REPO_ROOT,
+                          env=env)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("SWEEP_OBJECTIVE="):
+            return float(line.split("=", 1)[1])
+    raise RuntimeError(
+        f"sweep trial subprocess failed (exit {proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
 def run_sweep(config_name: str, config_path: str, constants: List[str],
               space: Dict[str, Tuple], n_trials: int = 15, seed: int = 0,
               sampler: str = "tpe", results_file: str = "sweep_results.json",
-              objective_fn=None) -> float:
+              objective_fn=None, n_jobs: int = 1, study_name: str = None,
+              sweep_dir: str = None) -> float:
     """TPE (or random) minimization over run.main's returned objective.
-    Mirrors hydra.sweeper: n_trials=15, direction=minimize, tpe sampler
-    (reference configs/config_adm_edm_mcedm_res32.yaml:20-31)."""
+    Mirrors hydra.sweeper (reference configs/config_adm_edm_mcedm_res32.yaml:
+    20-31): n_trials/n_jobs/study_name/sampler seed, direction=minimize.
+    sweep_dir: hydra.sweep.dir equivalent — per-trial outputs land in
+    `<sweep_dir>/<job_num>` (the reference's `subdir: ${hydra.job.num}`)."""
     import run as run_module
 
-    objective_fn = objective_fn or (lambda overrides: run_module.main(
-        [f"--config-name={config_name}", f"--config-path={config_path}"]
-        + overrides))
+    if sweep_dir:
+        os.makedirs(sweep_dir, exist_ok=True)
+        if results_file == "sweep_results.json":
+            results_file = os.path.join(sweep_dir, results_file)
+
+    if objective_fn is None:
+        if n_jobs > 1:
+            objective_fn = functools.partial(_subprocess_objective,
+                                             config_name, config_path)
+        else:
+            objective_fn = lambda overrides: run_module.main(  # noqa: E731
+                [f"--config-name={config_name}",
+                 f"--config-path={config_path}"] + overrides)
 
     results: List[Tuple[float, Dict[str, str]]] = []
+    results_lock = threading.Lock()
+    job_counter = itertools.count()
 
     def evaluate(params) -> float:
+        job_num = next(job_counter)
         overrides = constants + [f"{k}={_format(v)}" for k, v in params.items()]
-        log.info(f"trial {len(results)}: {params}")
+        if sweep_dir:
+            overrides = overrides + [
+                f"hydra.run.dir={os.path.join(sweep_dir, str(job_num))}"]
+        log.info(f"trial {job_num}: {params}")
         value = float(objective_fn(overrides))
-        results.append((value, {k: _format(v) for k, v in params.items()}))
+        with results_lock:
+            results.append((value, {k: _format(v) for k, v in params.items()}))
         return value
 
-    best_value, best_params = math.inf, {}
+    # ask/tell drivers for each sampler — a single batched loop below runs
+    # min(n_jobs, remaining) trials concurrently between tells
+    finish = None
     if sampler == "tpe":
         try:
             import optuna
@@ -141,49 +200,80 @@ def run_sweep(config_name: str, config_path: str, constants: List[str],
             # silently restart the sweep on the vendored sampler
         if optuna is not None:
             ostudy = optuna.create_study(
-                direction="minimize",
+                direction="minimize", study_name=study_name,
                 sampler=optuna.samplers.TPESampler(seed=seed))
 
-            def obj(trial):
+            def ask():
+                trial = ostudy.ask()
                 params = {}
                 for key, spec in space.items():
                     if spec[0] == "uniform":
                         params[key] = trial.suggest_float(key, spec[1], spec[2])
                     elif spec[0] == "loguniform":
-                        params[key] = trial.suggest_float(key, spec[1], spec[2],
-                                                          log=True)
+                        params[key] = trial.suggest_float(key, spec[1],
+                                                          spec[2], log=True)
                     elif spec[0] == "int":
                         params[key] = trial.suggest_int(key, int(spec[1]),
                                                         int(spec[2]))
                     else:
                         params[key] = trial.suggest_categorical(key, spec[1])
-                return evaluate(params)
+                return trial, params
 
-            ostudy.optimize(obj, n_trials=n_trials)
-            best_value = ostudy.best_value
-            best_params = {k: _format(v) for k, v in ostudy.best_params.items()}
+            def tell(handle, params, value):
+                ostudy.tell(handle, value)
+
+            def finish():
+                return ostudy.best_value, {k: _format(v) for k, v in
+                                           ostudy.best_params.items()}
         else:
             log.info("optuna not installed; using the vendored TPE sampler "
                      "(m_cedm_tpu/tpe.py)")
             tpe = TPESampler(space, seed=seed)
-            for _ in range(n_trials):
-                params = tpe.suggest()
-                tpe.tell(params, evaluate(params))
-            params, best_value = tpe.best
-            best_params = {k: _format(v) for k, v in params.items()}
+
+            def ask():
+                return None, tpe.suggest()
+
+            def tell(handle, params, value):
+                tpe.tell(params, value)
+
+            def finish():
+                params, value = tpe.best
+                return value, {k: _format(v) for k, v in params.items()}
     else:  # random search
-        rng = random.Random(seed)
         probe = TPESampler(space, seed=seed, n_startup=10 ** 9)  # pure random
-        probe.rng = rng
-        for _ in range(n_trials):
-            params = probe.suggest()
-            evaluate(params)
+        probe.rng = random.Random(seed)
+
+        def ask():
+            return None, probe.suggest()
+
+        def tell(handle, params, value):
+            pass
+
+    done = 0
+    while done < n_trials:
+        batch = min(max(int(n_jobs), 1), n_trials - done)
+        asks = [ask() for _ in range(batch)]
+        if batch == 1:
+            values = [evaluate(asks[0][1])]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(batch) as ex:
+                values = list(ex.map(lambda hp: evaluate(hp[1]), asks))
+        for (handle, params), value in zip(asks, values):
+            tell(handle, params, value)
+        done += batch
+
+    if finish is not None:
+        best_value, best_params = finish()
+    else:
         best_value, best_params = min(results, key=lambda r: r[0])
 
     log.info(f"best objective: {best_value} with {best_params}")
     with open(results_file, "w") as f:
         json.dump({"best_value": float(best_value), "best_params": best_params,
-                   "sampler": sampler,
+                   "sampler": sampler, "study_name": study_name,
+                   "n_jobs": int(n_jobs),
                    "trials": [{"value": float(v), "params": p}
                               for v, p in results]}, f, indent=2, default=str)
     return float(best_value)

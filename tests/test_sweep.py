@@ -1,6 +1,7 @@
 """Sweep system: vendored TPE sampler + hydra --multirun override parity."""
 import json
 import math
+import os
 
 import numpy as np
 import pytest
@@ -95,7 +96,113 @@ class TestHydraOverrideParsing:
         assert list(space) == ["lr"]
 
 
+class TestHydraSweeperSurface:
+    CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+
+    def test_multirun_reads_hydra_block(self, monkeypatch):
+        """run.py --multirun pulls n_trials/n_jobs/study_name/sampler.seed/
+        sweep.dir from the config's hydra block (reference
+        configs/config_adm_edm_mcedm_res32.yaml:20-33)."""
+        import run as run_module
+        import sweep as sweep_module
+
+        captured = {}
+
+        def fake_run_sweep(config_name, config_path, constants, space, **kw):
+            captured.update(kw)
+            captured["space"] = space
+            return 0.5
+
+        monkeypatch.setattr(sweep_module, "run_sweep", fake_run_sweep)
+        v = run_module.main(
+            ["-m", "--config-name=config_adm_edm_mcedm_res32.yaml",
+             f"--config-path={self.CONFIG_DIR}",
+             "model.hparams.optimization.lr=tag(log, interval(1e-4, 1e-2))"])
+        assert v == 0.5
+        assert captured["n_trials"] == 15
+        assert captured["n_jobs"] == 2
+        assert captured["seed"] == 0
+        assert captured["study_name"] == "adm_edm_mcedm"
+        assert "logs/sweepruns/adm_edm_mcedm" in captured["sweep_dir"]
+        assert list(captured["space"]) == ["model.hparams.optimization.lr"]
+
+    def test_multirun_cli_hydra_overrides_win(self, monkeypatch):
+        """Reference-style `hydra.sweeper.n_trials=30` CLI overrides beat
+        both the yaml block and the --n-trials flag."""
+        import run as run_module
+        import sweep as sweep_module
+
+        captured = {}
+
+        def fake_run_sweep(config_name, config_path, constants, space, **kw):
+            captured.update(kw)
+            captured["constants"] = constants
+            return 0.0
+
+        monkeypatch.setattr(sweep_module, "run_sweep", fake_run_sweep)
+        run_module.main(
+            ["-m", "--config-name=config_adm_edm_mcedm_res32.yaml",
+             f"--config-path={self.CONFIG_DIR}", "--n-trials=7",
+             "hydra.sweeper.n_trials=30", "hydra.sweeper.n_jobs=1",
+             "hydra.sweeper.sampler.seed=5", "system=swe_per",
+             "model.hparams.optimization.lr=interval(1e-4, 1e-2)"])
+        assert captured["n_trials"] == 30
+        assert captured["n_jobs"] == 1
+        assert captured["seed"] == 5
+        # hydra.* overrides are consumed, not composed into the job config
+        assert captured["constants"] == ["system=swe_per"]
+
+    def test_single_run_out_dir_from_yaml_hydra_block(self):
+        """With the hydra block restored, compose exposes run.dir resolved
+        against the job config (the ${now:...} template)."""
+        from m_cedm_tpu.config import compose
+        from run import hydra_setting
+
+        cfg, block = compose(self.CONFIG_DIR, "config_adm_edm_mcedm_res32",
+                             ["subname=_X"], return_hydra=True)
+        d = hydra_setting(block, {}, "hydra.run.dir")
+        assert d.startswith("logs/runs/adm_edm_mcedm_X20")
+        # CLI hydra.* beats the yaml block
+        assert hydra_setting(block, {"hydra.run.dir": "/x"},
+                             "hydra.run.dir") == "/x"
+        assert hydra_setting(block, {}, "hydra.sweeper.n_jobs") == 2
+        assert hydra_setting(block, {}, "hydra.nope.missing", 9) == 9
+
+
 class TestRunSweep:
+    def test_n_jobs_parallel_trials(self, tmp_path):
+        """n_jobs=2 runs trials concurrently between tells and routes each
+        trial's output into <sweep_dir>/<job_num> (hydra.sweep.subdir
+        equivalent)."""
+        import threading
+        import time
+
+        seen_threads, seen_dirs = set(), []
+        lock = threading.Lock()
+
+        def objective(overrides):
+            with lock:
+                seen_threads.add(threading.get_ident())
+                seen_dirs.extend(o.split("=", 1)[1] for o in overrides
+                                 if o.startswith("hydra.run.dir="))
+            time.sleep(0.05)
+            lr = float(next(o.split("=")[1] for o in overrides
+                            if o.startswith("lr=")))
+            return abs(math.log10(lr) + 3)
+
+        sweep_dir = str(tmp_path / "sweeprun")
+        best = run_sweep("cfg.yaml", "configs", [],
+                         {"lr": ("loguniform", 1e-5, 1e-1)},
+                         n_trials=6, seed=0, objective_fn=objective,
+                         n_jobs=2, study_name="s", sweep_dir=sweep_dir)
+        assert math.isfinite(best)
+        assert len(seen_threads) >= 2, "trials should run on worker threads"
+        assert sorted(seen_dirs) == [os.path.join(sweep_dir, str(i))
+                                     for i in range(6)]
+        res = json.load(open(os.path.join(sweep_dir, "sweep_results.json")))
+        assert len(res["trials"]) == 6
+        assert res["study_name"] == "s"
     def test_tpe_sweep_plumbing(self, tmp_path, monkeypatch):
         """run_sweep drives objective_fn with composed overrides, minimizes,
         and writes the reference-style results file (15-trial TPE default)."""
