@@ -27,6 +27,16 @@ import jax.numpy as jnp
 
 
 _CONV_FUSION = True
+_TRAIN_TRACE = False
+
+
+def train_trace() -> bool:
+    """True while a grad-bearing graph is being traced in "train" fusion
+    mode (fused kernels with hand-written backwards; stats chaining and
+    emission off — chained/emitted stats carry cotangents the backward
+    kernels don't model, and the chain's one-saved-pass matters less than
+    the backward's)."""
+    return _TRAIN_TRACE
 
 
 def block_fusion_enabled() -> bool:
@@ -59,10 +69,13 @@ def dual_input_enabled() -> bool:
 
 def stats_chain_enabled() -> bool:
     """Gate for conv0 stats emission -> conv1 chained stats inside the fused
-    block tail (bisect: MCEDM_BLOCK_FUSION="res" turns only this off)."""
+    block tail (bisect: MCEDM_BLOCK_FUSION="res" turns only this off).
+    Always off in train traces (see train_trace)."""
     import os
 
-    return os.environ.get("MCEDM_BLOCK_FUSION", "1") in ("1", "blocks", "all")
+    return (not _TRAIN_TRACE
+            and os.environ.get("MCEDM_BLOCK_FUSION", "1")
+            in ("1", "blocks", "all"))
 
 
 def out_fusion_enabled() -> bool:
@@ -96,24 +109,49 @@ def conv_fusion_enabled() -> bool:
     return _CONV_FUSION
 
 
+def train_fusion_mode() -> str:
+    """MCEDM_TRAIN_FUSION selects how grad-bearing graphs trace:
+      "train": fused kernels with the hand-written Pallas backwards
+              (pallas/fused_norm_conv.py phase A/B); stats
+              chaining/emission off.
+      "0" (default): fusion fully off — XLA autodiff of the unfused
+              composition (the round-2 production setting: 45.1 ms/step vs
+              the 64.1 of the recompute-backward fusion, B=16 res128 bf16).
+              The default flips to "train" once the on-device A/B
+              (tools/bench_train_bwd.py) confirms the backward kernels win.
+      "full": sampling-mode fusion incl. stats chaining; backward falls
+              back to XLA recompute where cotangents flow through
+              chained/emitted stats (the round-2 "1" setting)."""
+    import os
+
+    v = os.environ.get("MCEDM_TRAIN_FUSION", "0")
+    return {"0": "0", "1": "train", "train": "train", "full": "full"}.get(
+        v, "0")
+
+
 class disable_conv_fusion:
-    """Context manager: trace grad-bearing graphs with conv fusion off
-    (the custom-vjp recompute backward measured slower than XLA autodiff of
-    the unfused composition: 64.1 vs 45.1 ms/step same-session with the
-    round-2 block kernels, B=16 res128 bf16). MCEDM_TRAIN_FUSION=1 makes
-    this a no-op so train-side fusion can be re-A/B'd as kernels evolve."""
+    """Context manager wrapping grad-bearing traces: applies the measured
+    train-fusion mode (see train_fusion_mode). The name is historical —
+    mode "0" disables fusion outright, the default "train" mode keeps the
+    kernels and routes their backward through the hand-written phase A/B
+    kernels instead of XLA recompute. `mode` overrides the env selection
+    (tests/benchmarks A/B the modes explicitly)."""
+
+    def __init__(self, mode: str = None):
+        self._mode = mode
 
     def __enter__(self):
-        import os
-
-        global _CONV_FUSION
-        self._prev = _CONV_FUSION
-        if os.environ.get("MCEDM_TRAIN_FUSION", "0") != "1":
+        global _CONV_FUSION, _TRAIN_TRACE
+        self._prev = (_CONV_FUSION, _TRAIN_TRACE)
+        mode = self._mode or train_fusion_mode()
+        if mode == "0":
             _CONV_FUSION = False
+        elif mode == "train":
+            _TRAIN_TRACE = True
 
     def __exit__(self, *exc):
-        global _CONV_FUSION
-        _CONV_FUSION = self._prev
+        global _CONV_FUSION, _TRAIN_TRACE
+        _CONV_FUSION, _TRAIN_TRACE = self._prev
 
 
 def make_initializer(mode: str, scale: float, fan_in: int, fan_out: int):

@@ -48,6 +48,7 @@ import numpy as np
 
 from m_cedm_tpu.pallas.fused_norm import (
     _compute_stats,
+    _gc,
     _group_matrix,
     _mean_rstd,
     _tile_rows,
@@ -384,6 +385,274 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     )(*inputs)
 
 
+# ---------------------------------------------------------------------------
+# Hand-written backward kernels
+# ---------------------------------------------------------------------------
+#
+# Backward of out = conv3x3(silu(gn(x)*gamma+beta)) [+ res @ skip_w + skip_b]
+# is itself a norm+conv-shaped bandwidth problem. The XLA-recompute fallback
+# re-runs the whole reference composition under autodiff (~12 image-sized HBM
+# passes); these two kernels do it in 5:
+#
+#   phase A (read x, g):    dW, dbias, dgamma, dbeta [, dskip_w]
+#                           — all small accumulators over the sequential grid
+#   (XLA, (B,C)-sized)      m1 = mean_G(gamma*da), m2 = mean_G(gamma*da*xhat)
+#                           via the constant group matrix
+#   phase B (read x, g,
+#            write dx):     dx = rstd * (gamma*da - m1 - xhat*m2)
+#                           [+ dres = g @ skip_w^T for the 1x1-projection
+#                           skip — g is already resident]
+#
+# Both phases recompute a = xhat*gamma+beta and da = conv3x3^T(g) * silu'(a)
+# from x and g per tile (VPU work; the kernels stay stream-bound). g halo
+# rows ride in exactly like the forward's x halo; the transpose-conv taps are
+# the mirrored slices of the same zero-padded strip. Math identities used:
+#   sum_hw(dyhat)      = gamma * dbeta   (per (B, C))
+#   sum_hw(dyhat*xhat) = gamma * dgamma
+# so the two GroupNorm reduction terms come free from phase A's outputs.
+
+
+def bwd_kernel_enabled() -> bool:
+    """Gate for the hand-written backward kernels (MCEDM_BWD_KERNEL=0 falls
+    back to XLA autodiff of the reference composition — the round-2
+    behavior, kept re-measurable)."""
+    import os
+
+    return os.environ.get("MCEDM_BWD_KERNEL", "1") != "0"
+
+
+def _g_pad(gp_ref, gc_ref, gn_ref, r, wdt, o, top_live, bot_live, dtype):
+    """(R+2, W+2, O) zero-padded cotangent strip: halo rows zeroed at the
+    image edges, one zero column each side (cotangent of SAME zero padding
+    is zero outside the image)."""
+    top = gp_ref[0].astype(jnp.float32) * top_live
+    bot = gn_ref[0].astype(jnp.float32) * bot_live
+    strip = jnp.concatenate([top, gc_ref[0].astype(jnp.float32), bot],
+                            axis=0).astype(dtype)
+    zcol = jnp.zeros((r + 2, 1, o), dtype)
+    return jnp.concatenate([zcol, strip, zcol], axis=1)
+
+
+def _act_from_x(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref,
+                b, n, eps):
+    """Recompute (xhat, a, silu(a), silu'(a)) for the tile from x and the
+    saved channel statistics. All fp32 (bf16 VPU math measured no faster)."""
+    c = x_ref.shape[-1]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = gamma_ref[pl.ds(b, 1), :].reshape(1, 1, c)
+    beta = beta_ref[pl.ds(b, 1), :].reshape(1, 1, c)
+    mean = mean.reshape(1, 1, c)
+    rstd = rstd.reshape(1, 1, c)
+    x = x_ref[0].astype(jnp.float32)
+    xhat = (x - mean) * rstd
+    a = xhat * gamma + beta
+    sig = jax.nn.sigmoid(a)
+    s = a * sig
+    dsilu = sig * (1.0 + a * (1.0 - sig))
+    return xhat, s, dsilu, gamma, rstd
+
+
+def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
+                       has_res: bool):
+    """Phase A: accumulate dW (9C, O), dbias (1, O), dgamma/dbeta (B, C)
+    [, dskip_w (C_res, O)] over the (B, H/R) grid."""
+    (gp_ref, gc_ref, gn_ref, x_ref, gamma_ref, beta_ref, sums_ref,
+     sumsq_ref, gmat_ref, wt_ref), rest = refs[:10], refs[10:]
+    res_ref = None
+    if has_res:
+        res_ref, rest = rest[0], rest[1:]
+    dw_ref, db_ref, dgamma_ref, dbeta_ref = rest[:4]
+    dskw_ref = rest[4] if has_res else None
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, wdt, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    o = gc_ref.shape[-1]
+    top_live = (t > 0).astype(jnp.float32)
+    bot_live = (t < n_tiles - 1).astype(jnp.float32)
+    mm_dtype = x_ref.dtype
+
+    xhat, s, dsilu, gamma, rstd = _act_from_x(
+        x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, b, n, eps)
+    s_mm = s.astype(mm_dtype).reshape(r * wdt, c)
+    gpad = _g_pad(gp_ref, gc_ref, gn_ref, r, wdt, o, top_live, bot_live,
+                  mm_dtype)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        if has_res:
+            dskw_ref[:] = jnp.zeros_like(dskw_ref)
+
+    @pl.when(t == 0)
+    def _():
+        dgamma_ref[pl.ds(b, 1), :] = jnp.zeros_like(
+            dgamma_ref[pl.ds(b, 1), :])
+        dbeta_ref[pl.ds(b, 1), :] = jnp.zeros_like(dbeta_ref[pl.ds(b, 1), :])
+
+    ds = jnp.zeros((r * wdt, c), jnp.float32)
+    for dr in range(3):
+        for dwi in range(3):
+            # transpose-conv tap: the mirrored slice of the padded strip
+            gs = jax.lax.slice(gpad, (2 - dr, 2 - dwi, 0),
+                               (2 - dr + r, 2 - dwi + wdt, o))
+            gs = gs.reshape(r * wdt, o)
+            # dW[tap] += s^T gs  (contract the pixel axis)
+            dw_ref[pl.ds((dr * 3 + dwi) * c, c), :] += jax.lax.dot_general(
+                s_mm, gs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # ds += gs @ W[tap]^T
+            ds = ds + jax.lax.dot_general(
+                gs, wt_ref[pl.ds((dr * 3 + dwi) * o, o), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    g32 = gc_ref[0].astype(jnp.float32).reshape(r * wdt, o)
+    db_ref[:] += jnp.sum(g32, axis=0, keepdims=True)
+    if has_res:
+        res_mm = res_ref[0].astype(mm_dtype).reshape(r * wdt, -1)
+        dskw_ref[:] += jax.lax.dot_general(
+            res_mm, gc_ref[0].astype(mm_dtype).reshape(r * wdt, o),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    da = ds * dsilu.reshape(r * wdt, c)
+    dgamma_ref[pl.ds(b, 1), :] += jnp.sum(
+        da * xhat.reshape(r * wdt, c), axis=0, keepdims=True)
+    dbeta_ref[pl.ds(b, 1), :] += jnp.sum(da, axis=0, keepdims=True)
+
+
+def _gnsc_bwd_kernel_b(*refs, n: int, eps: float, n_tiles: int,
+                       dres_out: bool):
+    """Phase B: dx = rstd * (gamma*da - m1 - xhat*m2) per tile
+    [+ dres = g @ skip_w^T — the 1x1 skip's input cotangent while g is
+    resident]."""
+    (gp_ref, gc_ref, gn_ref, x_ref, gamma_ref, beta_ref, sums_ref,
+     sumsq_ref, gmat_ref, wt_ref, m1_ref, m2_ref), rest = refs[:12], refs[12:]
+    skwt_ref = None
+    if dres_out:
+        skwt_ref, rest = rest[0], rest[1:]
+    dx_ref = rest[0]
+    dres_ref = rest[1] if dres_out else None
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, wdt, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    o = gc_ref.shape[-1]
+    top_live = (t > 0).astype(jnp.float32)
+    bot_live = (t < n_tiles - 1).astype(jnp.float32)
+    mm_dtype = x_ref.dtype
+
+    xhat, _, dsilu, gamma, rstd = _act_from_x(
+        x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, b, n, eps)
+    gpad = _g_pad(gp_ref, gc_ref, gn_ref, r, wdt, o, top_live, bot_live,
+                  mm_dtype)
+    ds = jnp.zeros((r * wdt, c), jnp.float32)
+    for dr in range(3):
+        for dwi in range(3):
+            gs = jax.lax.slice(gpad, (2 - dr, 2 - dwi, 0),
+                               (2 - dr + r, 2 - dwi + wdt, o))
+            ds = ds + jax.lax.dot_general(
+                gs.reshape(r * wdt, o),
+                wt_ref[pl.ds((dr * 3 + dwi) * o, o), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    da = ds.reshape(r, wdt, c) * dsilu
+    m1 = m1_ref[pl.ds(b, 1), :].reshape(1, 1, c)
+    m2 = m2_ref[pl.ds(b, 1), :].reshape(1, 1, c)
+    dx_ref[0] = (rstd * (gamma * da - m1 - xhat * m2)).astype(dx_ref.dtype)
+    if dres_out:
+        cr = skwt_ref.shape[-1]
+        dres = jax.lax.dot_general(
+            gc_ref[0].astype(mm_dtype).reshape(r * wdt, o), skwt_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dres_ref[0] = dres.reshape(r, wdt, cr).astype(dres_ref.dtype)
+
+
+def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
+                     residual=None, skip_w=None, res_mode="none"):
+    """Two-phase Pallas backward. Returns (dx, dgamma, dbeta, dw, dbias
+    [, dres, dskip_w, dskip_b]). res_mode: "none" | "identity" | "proj".
+    For "identity" the residual cotangent is g itself (returned by the
+    caller without touching this function)."""
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    n = h * wdt
+    r = _row_tile(h, x.dtype)
+    n_tiles = h // r
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    # per-tap transposed weights (9*O, C) in the network dtype
+    wt = jnp.transpose(w.astype(x.dtype), (0, 1, 3, 2)).reshape(9 * o, c)
+    g_prev, g_next = _halo_rows(g, r)
+    has_res = res_mode == "proj"
+
+    def x_spec(ci):
+        return pl.BlockSpec((1, r, wdt, ci), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    halo_p = pl.BlockSpec((1, 1, wdt, o),
+                          lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
+                          memory_space=pltpu.VMEM)
+    halo_n = pl.BlockSpec((1, 1, wdt, o),
+                          lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1),
+                                        0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = const_spec(b, c)
+
+    in_specs = [halo_p, x_spec(o), halo_n, x_spec(c), vec_spec, vec_spec,
+                vec_spec, vec_spec, const_spec(c, c), const_spec(9 * o, c)]
+    inputs = [g_prev, g, g_next, x, gamma, beta, sums, sumsq, gmat, wt]
+    out_specs = [const_spec(9 * c, o), const_spec(1, o), vec_spec, vec_spec]
+    out_shape = [jax.ShapeDtypeStruct((9 * c, o), jnp.float32),
+                 jax.ShapeDtypeStruct((1, o), jnp.float32),
+                 jax.ShapeDtypeStruct((b, c), jnp.float32),
+                 jax.ShapeDtypeStruct((b, c), jnp.float32)]
+    if has_res:
+        cr = residual.shape[-1]
+        in_specs.append(x_spec(cr))
+        inputs.append(residual)
+        out_specs.append(const_spec(cr, o))
+        out_shape.append(jax.ShapeDtypeStruct((cr, o), jnp.float32))
+    dw9, db, dgamma, dbeta, *rest_a = pl.pallas_call(
+        functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
+                          has_res=has_res),
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*inputs)
+
+    # GroupNorm reduction terms from phase A's channel sums (see header)
+    m1 = _gc(gamma * dbeta / n, gmat)
+    m2 = _gc(gamma * dgamma / n, gmat)
+
+    in_specs_b = in_specs[:10] + [vec_spec, vec_spec]
+    inputs_b = inputs[:10] + [m1, m2]
+    out_specs_b = [x_spec(c)]
+    out_shape_b = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    if has_res:
+        cr = residual.shape[-1]
+        skwt = jnp.transpose(skip_w.astype(x.dtype))  # (O, C_res)
+        in_specs_b.append(const_spec(o, cr))
+        inputs_b.append(skwt)
+        out_specs_b.append(x_spec(cr))
+        out_shape_b.append(jax.ShapeDtypeStruct((b, h, wdt, cr), g.dtype))
+    outs_b = pl.pallas_call(
+        functools.partial(_gnsc_bwd_kernel_b, n=n, eps=eps, n_tiles=n_tiles,
+                          dres_out=has_res),
+        grid=(b, n_tiles),
+        in_specs=in_specs_b,
+        out_specs=out_specs_b,
+        out_shape=out_shape_b,
+    )(*inputs_b)
+    dx = outs_b[0] if isinstance(outs_b, (list, tuple)) else outs_b
+    dw = dw9.reshape(3, 3, c, o).astype(w.dtype)
+    if has_res:
+        dres = outs_b[1]
+        dskw = rest_a[0].astype(skip_w.dtype)
+        return dx, dgamma, dbeta, dw, db.reshape(o), dres, dskw, db.reshape(o)
+    return dx, dgamma, dbeta, dw, db.reshape(o)
+
+
 def _use_pallas(x) -> bool:
     if not pallas_enabled():
         return False
@@ -497,7 +766,15 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
                skip_w, skip_b, sums_in, sumsq_in, num_groups, eps,
                res_mode, emit_stats, has_bias, has_skip_b, has_stats,
                has_x2):
+    saved_stats = None
     if _use_pallas(x):
+        stats = (sums_in, sumsq_in) if has_stats else None
+        if stats is None and not has_x2:
+            # precompute (and save) the channel statistics so a hand-written
+            # backward can reuse them without another pass over x
+            b_, h_, w_, c_ = x.shape
+            stats = _compute_stats(x.reshape(b_, h_ * w_, c_),
+                                   _tile_rows(h_ * w_))
         out = _pallas_gnsc(
             x, gamma, beta, w, bias if has_bias else None, num_groups, eps,
             x2=x2 if has_x2 else None,
@@ -506,8 +783,8 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
             skip_w=skip_w if res_mode in ("proj", "proj2") else None,
             skip_b=(skip_b if (res_mode in ("proj", "proj2") and has_skip_b)
                     else None),
-            res_mode=res_mode, emit_stats=emit_stats,
-            stats=(sums_in, sumsq_in) if has_stats else None)
+            res_mode=res_mode, emit_stats=emit_stats, stats=stats)
+        saved_stats = stats
         if emit_stats:
             out = tuple(out)  # pallas_call returns a list
     else:
@@ -516,13 +793,43 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
                                res_mode, emit_stats, has_bias, has_skip_b,
                                has_x2)
     return out, (x, gamma, beta, w, bias, x2, residual, residual2,
-                 skip_w, skip_b, sums_in, sumsq_in)
+                 skip_w, skip_b, sums_in, sumsq_in, saved_stats)
 
 
 def _block_bwd(num_groups, eps, res_mode, emit_stats, has_bias, has_skip_b,
                has_stats, has_x2, residuals, g):
     (x, gamma, beta, w, bias, x2, residual, residual2, skip_w, skip_b,
-     sums_in, sumsq_in) = residuals
+     sums_in, sumsq_in, saved_stats) = residuals
+
+    if (saved_stats is not None and bwd_kernel_enabled() and not emit_stats
+            and not has_x2 and res_mode in ("none", "identity", "proj")):
+        # hand-written two-phase Pallas backward (5 HBM passes vs ~12 for
+        # the XLA recompute of the composition)
+        outs = _pallas_gnsc_bwd(
+            x, gamma, beta, w, saved_stats[0], saved_stats[1], g,
+            num_groups, eps,
+            residual=residual if res_mode == "proj" else None,
+            skip_w=skip_w if res_mode == "proj" else None,
+            res_mode=res_mode)
+        dx, dgamma, dbeta, dw, dbias = outs[:5]
+        dres = jnp.zeros_like(residual)
+        dskw, dskb = jnp.zeros_like(skip_w), jnp.zeros_like(skip_b)
+        if res_mode == "identity":
+            dres = g.astype(residual.dtype)
+        elif res_mode == "proj":
+            dres = outs[5].astype(residual.dtype)
+            dskw = outs[6]
+            if has_skip_b:
+                dskb = outs[7].astype(skip_b.dtype)
+        return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+                dw.astype(w.dtype),
+                dbias.astype(bias.dtype) if has_bias
+                else jnp.zeros_like(bias),
+                jnp.zeros_like(x2), dres, jnp.zeros_like(residual2),
+                dskw.astype(skip_w.dtype) if res_mode == "proj"
+                else jnp.zeros_like(skip_w),
+                dskb,
+                jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
 
     def f(x, gamma, beta, w, bias, x2, residual, residual2, skip_w, skip_b):
         return _block_reference(x, gamma, beta, w, bias, x2, residual,
@@ -543,13 +850,24 @@ _block_core.defvjp(_block_fwd, _block_bwd)
 
 
 def _fgsc_fwd(x, gamma, beta, w, bias, num_groups, eps):
-    out = fused_gn_silu_conv(x, gamma, beta, w, bias, num_groups, eps)
-    return out, (x, gamma, beta, w, bias)
+    if not _use_pallas(x):
+        out = gn_silu_conv_reference(x, gamma, beta, w, bias, num_groups, eps)
+        return out, (x, gamma, beta, w, bias, None)
+    b, h, wdt, c = x.shape
+    stats = _compute_stats(x.reshape(b, h * wdt, c), _tile_rows(h * wdt))
+    out = _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps, stats=stats)
+    return out, (x, gamma, beta, w, bias, stats)
 
 
 def _fgsc_bwd(num_groups, eps, residuals, g):
-    x, gamma, beta, w, bias = residuals
+    x, gamma, beta, w, bias, stats = residuals
     has_bias = bias is not None
+    if stats is not None and bwd_kernel_enabled():
+        dx, dgamma, dbeta, dw, dbias = _pallas_gnsc_bwd(
+            x, gamma, beta, w, stats[0], stats[1], g, num_groups, eps)
+        return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+                dw.astype(w.dtype),
+                dbias.astype(bias.dtype) if has_bias else None)
 
     def f(x, gamma, beta, w, bias):
         return gn_silu_conv_reference(x, gamma, beta, w,

@@ -138,7 +138,7 @@ def scale_back_min_max(scaled, mn, mx):
     return (flat * (mx - mn) + mn).reshape(scaled.shape)
 
 
-def chunked_ensemble(draw, keys, chunk: int = 4):
+def chunked_ensemble(draw, keys, chunk: int = 4, mesh=None, axis: str = "data"):
     """vmap `draw` over an ensemble of PRNG keys in chunks.
 
     The reference folds the n_samples ensemble into the batch
@@ -148,8 +148,33 @@ def chunked_ensemble(draw, keys, chunk: int = 4):
     large ensembles run as a `lax.map` over vmap-chunks: the chunk body is
     compiled once and iterated sequentially, bounding both. Chunks stay
     vmapped so each iteration still fills the chip.
+
+    `mesh`: SPMD ensemble parallelism (SURVEY §2.9 headroom) — the chunk
+    axis is sharding-constrained over the mesh's `axis`, so each device
+    draws its ensemble members and the only cross-device traffic is the
+    final ensemble reduction. Used by the production eval path when the
+    batch axis itself is not shardable (the reference's
+    n_samples=100/batch-1 test regime); requires n % mesh.shape[axis] == 0
+    (falls back to the single-device chunking otherwise).
     """
     n = keys.shape[0]
+    if mesh is not None and n > 1 and n % mesh.shape[axis] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape[axis]
+        c = ndev * max(1, chunk // ndev)
+        if n % c != 0:
+            c = ndev
+        if n == c:
+            keys = jax.lax.with_sharding_constraint(
+                keys, NamedSharding(mesh, P(axis)))
+            return jax.vmap(draw)(keys)
+        ks = keys.reshape((n // c, c) + keys.shape[1:])
+        ks = jax.lax.with_sharding_constraint(
+            ks, NamedSharding(mesh, P(None, axis)))
+        out = jax.lax.map(lambda kk: jax.vmap(draw)(kk), ks)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n,) + x.shape[2:]), out)
     if n <= chunk or n % chunk != 0:
         return jax.vmap(draw)(keys)
     ks = keys.reshape((n // chunk, chunk) + keys.shape[1:])

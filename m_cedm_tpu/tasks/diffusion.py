@@ -417,18 +417,19 @@ class McedmTask(DiffusionTaskBase):
     # --- evaluation -----------------------------------------------------------
 
     def eval_step(self, state, batch, key, mask, split="val", n_samples=1,
-                  mask_name="u", down_mask=None):
-        """Sample-and-score one mask task; returns the reference metric dict."""
-        fn = self._jit_cache.get(("eval", split, mask_name, n_samples))
+                  mask_name="u", down_mask=None, mesh=None):
+        """Sample-and-score one mask task; returns the reference metric dict.
+        mesh: shard the n_samples ensemble over it (chunked_ensemble)."""
+        fn = self._jit_cache.get(("eval", split, mask_name, n_samples, mesh))
         if fn is None:
             fn = jax.jit(functools.partial(
                 self._eval_impl, split=split, n_samples=n_samples,
-                mask_name=mask_name))
-            self._jit_cache[("eval", split, mask_name, n_samples)] = fn
+                mask_name=mask_name, mesh=mesh))
+            self._jit_cache[("eval", split, mask_name, n_samples, mesh)] = fn
         return fn(state, batch, key, mask, down_mask)
 
     def _eval_impl(self, state, batch, key, mask, down_mask, *, split,
-                   n_samples, mask_name):
+                   n_samples, mask_name, mesh=None):
         h_un, t_grid, x_grid, u_un = batch
         h_ch, u_ch = self.h_ch, self.u_ch
         sp = self.test_sparams
@@ -444,7 +445,8 @@ class McedmTask(DiffusionTaskBase):
                                  guide_dx=guide_dx, return_last=True)
             return xs[:, -1]
 
-        samples = chunked_ensemble(draw, jax.random.split(k_sample, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(k_sample, n_samples),
+                                   mesh=mesh)
         hu_mean = jnp.mean(samples, axis=0)
 
         mask_loss = mask_b if down_mask is None else mask_b * down_mask
@@ -738,15 +740,16 @@ class DdimTask(DiffusionTaskBase):
 
     # --- evaluation -------------------------------------------------------------
 
-    def eval_step(self, state, batch, key, split="val", n_samples=1):
-        fn = self._jit_cache.get(("eval", split, n_samples))
+    def eval_step(self, state, batch, key, split="val", n_samples=1,
+                  mesh=None):
+        fn = self._jit_cache.get(("eval", split, n_samples, mesh))
         if fn is None:
             fn = jax.jit(functools.partial(self._eval_impl, split=split,
-                                           n_samples=n_samples))
-            self._jit_cache[("eval", split, n_samples)] = fn
+                                           n_samples=n_samples, mesh=mesh))
+            self._jit_cache[("eval", split, n_samples, mesh)] = fn
         return fn(state, batch, key)
 
-    def _eval_impl(self, state, batch, key, *, split, n_samples):
+    def _eval_impl(self, state, batch, key, *, split, n_samples, mesh=None):
         h_un, dxc, dtc, u_un = batch
         h_ch, u_ch = self.h_ch, self.u_ch
         sp = self.test_sparams
@@ -765,7 +768,8 @@ class DdimTask(DiffusionTaskBase):
                                              guide_dx=guide_dx)
             return xs[:, -1]
 
-        samples = chunked_ensemble(draw, jax.random.split(key, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(key, n_samples),
+                                   mesh=mesh)
         if split == "test" and _sget(sp, "select_by_pde", False):
             hu_mean = self._select_best_by_pde(
                 state, samples, jnp.concatenate([h_un, u_un], axis=-1),
@@ -1073,7 +1077,7 @@ class CondDdimTask(DdimTask):
 
     # --- evaluation ----------------------------------------------------------------
 
-    def _eval_impl(self, state, batch, key, *, split, n_samples):
+    def _eval_impl(self, state, batch, key, *, split, n_samples, mesh=None):
         h_un, dxc, dtc, u_un = batch
         h_ch, u_ch = self.h_ch, self.u_ch
         sp = self.test_sparams
@@ -1092,7 +1096,8 @@ class CondDdimTask(DdimTask):
                 xs = self.sample(state, cond_in, k, sp, guide_dx=guide_dx)
             return xs[:, -1]
 
-        samples = chunked_ensemble(draw, jax.random.split(key, n_samples))
+        samples = chunked_ensemble(draw, jax.random.split(key, n_samples),
+                                   mesh=mesh)
         if split == "test" and _sget(sp, "select_by_pde", False):
             # score the joint [h | u_sample] field (ddim.py:1259-1273)
             h_rep = jnp.broadcast_to(h[None], (n_samples,) + h.shape)

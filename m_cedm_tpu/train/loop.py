@@ -190,6 +190,16 @@ class Trainer:
 
         for batch_idx, batch in enumerate(datamodule.iter_split(split)):
             batch = shard_batch(batch, self.mesh)
+            # SPMD ensemble parallelism (SURVEY §2.9): when the batch axis
+            # cannot shard over the mesh (the reference's n_samples=100 /
+            # test_batch_size=1 regime, run.py:52-54) but the ensemble can,
+            # the n_samples axis becomes the parallel axis instead
+            ens_mesh = None
+            if self.mesh is not None and n_samples > 1:
+                ndev = self.mesh.shape["data"]
+                bsz = int(np.asarray(batch[0]).shape[0])
+                if bsz % ndev != 0 and n_samples % ndev == 0:
+                    ens_mesh = self.mesh
             key, k = jax.random.split(key)
             outputs: Dict = {}
             if isinstance(task, McedmTask):
@@ -199,7 +209,8 @@ class Trainer:
                     metrics, pred = task.eval_step(
                         state, batch, k, jax.device_put(mask), split=split,
                         n_samples=n_samples, mask_name=name,
-                        down_mask=down_mask if split == "test" else None)
+                        down_mask=down_mask if split == "test" else None,
+                        mesh=ens_mesh)
                     self.logger.accumulate(metrics)
                     h_un, _, _, u_un = batch
                     gt = task.transform.forward(state, h_un, u_un)
@@ -207,7 +218,8 @@ class Trainer:
                     outputs[f"gt_{name}"] = np.asarray(gt)
             elif isinstance(task, DiffusionTaskBase):
                 metrics, pred = task.eval_step(state, batch, k, split=split,
-                                               n_samples=n_samples)
+                                               n_samples=n_samples,
+                                               mesh=ens_mesh)
                 self.logger.accumulate(metrics)
                 outputs["traj"] = np.asarray(pred)[:, None]
                 h_un, _, _, u_un = batch

@@ -355,7 +355,7 @@ class TestFusedNormConv:
         def loss(p, fused):
             if fused:
                 return jnp.sum(jnp.sin(block.apply(p, x, emb)))
-            with disable_conv_fusion():
+            with disable_conv_fusion(mode="0"):
                 return jnp.sum(jnp.sin(block.apply(p, x, emb)))
 
         g1 = jax.grad(lambda p: loss(p, True))(params)
@@ -428,7 +428,7 @@ class TestFusedNormConv:
         t = jnp.asarray([1.5, 0.3])
         params = net.init(jax.random.PRNGKey(1), x, t)
         out_chain = net.apply(params, x, t)
-        with disable_conv_fusion():
+        with disable_conv_fusion(mode="0"):
             out_off = net.apply(params, x, t)
         np.testing.assert_allclose(np.asarray(out_chain),
                                    np.asarray(out_off),
@@ -439,7 +439,7 @@ class TestFusedNormConv:
             params)
 
         def loss_off(p):
-            with disable_conv_fusion():
+            with disable_conv_fusion(mode="0"):
                 return jnp.sum(jnp.sin(net.apply(p, x, t)))
 
         g_off = jax.grad(loss_off)(params)
@@ -475,7 +475,7 @@ class TestFusedNormConv:
         emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
         params = block.init(jax.random.PRNGKey(2), x, emb)
         out_fused = block.apply(params, x, emb)
-        with disable_conv_fusion():
+        with disable_conv_fusion(mode="0"):
             out_unfused = block.apply(params, x, emb)
         np.testing.assert_allclose(np.asarray(out_fused),
                                    np.asarray(out_unfused),
@@ -493,7 +493,7 @@ class TestFusedNormConv:
         emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
         params = block.init(jax.random.PRNGKey(2), x, emb)
         out_fused = block.apply(params, x, emb)
-        with disable_conv_fusion():
+        with disable_conv_fusion(mode="0"):
             out_unfused = block.apply(params, x, emb)
         np.testing.assert_allclose(np.asarray(out_fused),
                                    np.asarray(out_unfused),
@@ -512,3 +512,147 @@ class TestFusedNormConv:
         assert not fnc._use_pallas(bad)
         small = jnp.zeros((1, 16, 16, 32))  # n = 256 <= 2048 and divides
         assert fnc._use_pallas(small)
+
+
+class TestFusedNormConvBackward:
+    """Hand-written two-phase Pallas backward (phase A reductions + phase B
+    dx/dres) vs jax autodiff of the reference composition, in interpret
+    mode with the Pallas path forced."""
+
+    def _force(self, monkeypatch):
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        orig_call = pl.pallas_call
+        wrapped = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn.pl, "pallas_call", wrapped, raising=False)
+        monkeypatch.setattr(fnc.pl, "pallas_call", wrapped, raising=False)
+        monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        return fnc
+
+    def _inputs(self, dtype=jnp.float32, H=32):
+        rs = np.random.RandomState(11)
+        B_, W_, C_, O = 2, 16, 32, 32
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32), dtype)
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        ct = jnp.asarray(rs.randn(B_, H, W_, O).astype(np.float32), dtype)
+        return x, gamma, beta, w, bias, ct
+
+    def test_base_grad_parity(self, monkeypatch):
+        fnc = self._force(monkeypatch)
+        x, gamma, beta, w, bias, ct = self._inputs()
+        assert fnc._use_pallas(x)
+
+        g1 = jax.grad(lambda *a: jnp.sum(
+            fnc.fused_gn_silu_conv(*a, G, 1e-5) * ct),
+            argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, bias)
+        g2 = jax.grad(lambda *a: jnp.sum(
+            fnc.gn_silu_conv_reference(*a, G, 1e-5) * ct),
+            argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, bias)
+        for name, a, b_ in zip(("dx", "dgamma", "dbeta", "dw", "dbias"),
+                               g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+    @pytest.mark.parametrize("mode", ["identity", "proj"])
+    def test_block_grad_parity(self, mode, monkeypatch):
+        fnc = self._force(monkeypatch)
+        x, gamma, beta, w, bias, ct = self._inputs()
+        rs = np.random.RandomState(12)
+        if mode == "identity":
+            res = jnp.asarray(rs.randn(*ct.shape).astype(np.float32))
+            kw = dict(residual=res)
+            args = (x, gamma, beta, w, bias, res)
+            wrap = lambda f: lambda x, g, b_, w_, bi, r: jnp.sum(
+                f(x, g, b_, w_, bi, G, residual=r) * ct)
+        else:
+            cr = 24
+            res = jnp.asarray(rs.randn(x.shape[0], x.shape[1], x.shape[2],
+                                       cr).astype(np.float32))
+            skw = jnp.asarray(0.2 * rs.randn(cr, ct.shape[-1])
+                              .astype(np.float32))
+            skb = jnp.asarray(0.1 * rs.randn(ct.shape[-1]).astype(np.float32))
+            args = (x, gamma, beta, w, bias, res, skw, skb)
+            wrap = lambda f: lambda x, g, b_, w_, bi, r, sw, sb: jnp.sum(
+                f(x, g, b_, w_, bi, G, residual=r, skip_w=sw, skip_b=sb) * ct)
+        nargs = tuple(range(len(args)))
+        g1 = jax.grad(wrap(fnc.fused_gn_silu_conv_block), argnums=nargs)(*args)
+        g2 = jax.grad(wrap(fnc.gn_silu_conv_block_reference),
+                      argnums=nargs)(*args)
+        names = ("dx", "dgamma", "dbeta", "dw", "dbias", "dres", "dskw",
+                 "dskb")[:len(args)]
+        for name, a, b_ in zip(names, g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_bwd_gate_falls_back(self, monkeypatch):
+        """MCEDM_BWD_KERNEL=0 routes backward through XLA recompute of the
+        reference — same gradients."""
+        fnc = self._force(monkeypatch)
+        x, gamma, beta, w, bias, ct = self._inputs()
+
+        def grads():
+            return jax.grad(lambda *a: jnp.sum(
+                fnc.fused_gn_silu_conv(*a, G, 1e-5) * ct),
+                argnums=(0, 3))(x, gamma, beta, w, bias)
+
+        g_kernel = grads()
+        monkeypatch.setenv("MCEDM_BWD_KERNEL", "0")
+        g_fallback = grads()
+        for a, b_ in zip(g_kernel, g_fallback):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_train_trace_unet_block_grads(self, monkeypatch):
+        """UNetBlock traced in "train" fusion mode (fused kernels, backward
+        kernels, no stats chain) == mode "0" (everything unfused)."""
+        from m_cedm_tpu.models.adm_unet import UNetBlock
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        self._force(monkeypatch)
+        block = UNetBlock(out_channels=32)  # in_ch 48 != 32 -> proj skip
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 48))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        params = block.init(jax.random.PRNGKey(2), x, emb)
+
+        def loss(p, mode):
+            with disable_conv_fusion(mode=mode):
+                return jnp.sum(jnp.sin(block.apply(p, x, emb)))
+
+        out_train = loss(params, "train")
+        out_off = loss(params, "0")
+        np.testing.assert_allclose(float(out_train), float(out_off),
+                                   rtol=1e-4)
+        g1 = jax.grad(lambda p: loss(p, "train"))(params)
+        g2 = jax.grad(lambda p: loss(p, "0"))(params)
+        paths1 = jax.tree_util.tree_leaves_with_path(g1)
+        paths2 = jax.tree_util.tree_leaves_with_path(g2)
+        for (p1, a), (_, b_) in zip(paths1, paths2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=6e-4, atol=6e-5,
+                err_msg=jax.tree_util.keystr(p1))
+
+    def test_bf16_grad_parity(self, monkeypatch):
+        """bf16 activations: backward kernels vs autodiff of the reference
+        (both see the same cast points; bf16-level tolerance)."""
+        fnc = self._force(monkeypatch)
+        x, gamma, beta, w, bias, ct = self._inputs(dtype=jnp.bfloat16)
+        wb = w.astype(jnp.bfloat16)
+
+        g1 = jax.grad(lambda *a: jnp.sum(
+            (fnc.fused_gn_silu_conv(*a, G, 1e-5) * ct)
+            .astype(jnp.float32)), argnums=(0, 3))(x, gamma, beta, wb, bias)
+        g2 = jax.grad(lambda *a: jnp.sum(
+            (fnc.gn_silu_conv_reference(*a, G, 1e-5) * ct)
+            .astype(jnp.float32)), argnums=(0, 3))(x, gamma, beta, wb, bias)
+        for name, a, b_ in zip(("dx", "dw"), g1, g2):
+            a32 = np.asarray(a, np.float32)
+            b32 = np.asarray(b_, np.float32)
+            scale = np.abs(b32).max()
+            assert np.abs(a32 - b32).max() <= 0.05 * max(scale, 1.0), name

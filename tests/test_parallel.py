@@ -109,6 +109,35 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_eval_step_ensemble_sharded(self):
+        """The PRODUCTION eval path (eval_step -> chunked_ensemble) shards
+        the n_samples axis over the mesh when given one: identical metrics
+        to the unsharded eval at batch 1 / ensemble 8 (the reference's
+        n_samples=100 / test_batch_size=1 regime, run.py:52-54)."""
+        task = McedmTask(mcedm_hparams())
+        task.set_pde_loss_function("swe_per", False)
+        state = task.init_state(jax.random.PRNGKey(0))
+        batch = tuple(np.asarray(a)[:1] if np.asarray(a).ndim > 1
+                      else np.asarray(a)
+                      for a in grid_batch(jax.random.PRNGKey(1)))
+        mask = jnp.concatenate([jnp.zeros((RES, RES, 1)),
+                                jnp.ones((RES, RES, 1))], axis=-1)
+        task.set_test_sampler_params(dict(task.test_sparams, timesteps=4))
+        key = jax.random.PRNGKey(3)
+        m_ref, pred_ref = task.eval_step(state, jax.device_put(batch), key,
+                                         mask, split="val", n_samples=8)
+
+        mesh = make_mesh()
+        state_m = replicate(state, mesh)
+        batch_m = shard_batch(batch, mesh)  # B=1 -> replicated
+        m_sh, pred_sh = task.eval_step(state_m, batch_m, key, mask,
+                                       split="val", n_samples=8, mesh=mesh)
+        for k_ in m_ref:
+            np.testing.assert_allclose(float(m_ref[k_]), float(m_sh[k_]),
+                                       rtol=2e-4, err_msg=k_)
+        np.testing.assert_allclose(np.asarray(pred_sh), np.asarray(pred_ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestTrainerLoop:
     @pytest.fixture()
