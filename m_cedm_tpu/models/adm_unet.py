@@ -132,7 +132,9 @@ class UNetBlock(nn.Module):
         # separate stats pass over h runs either
         from m_cedm_tpu.models.layers import (block_fusion_enabled,
                                               conv_fusion_enabled,
-                                              stats_chain_enabled)
+                                              stats_chain_enabled,
+                                              upconv_kernel_enabled,
+                                              upres_kernel_enabled)
 
         norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
                               name="norm0")
@@ -168,6 +170,13 @@ class UNetBlock(nn.Module):
             g0, b0 = norm0(x, fold_only=True)
             h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
                                      self.eps))
+        elif self.up and conv_fusion_enabled() and upconv_kernel_enabled():
+            # whole up prefix in one kernel: norm+silu at low res, upsample
+            # in VMEM, conv3x3 at high res (chained stats skip the stats
+            # pass too)
+            g0, b0 = norm0(x, fold_only=True)
+            h = conv0(x, fused_norm=(g0, b0, _adm_groups(in_channels),
+                                     self.eps), fused_stats=in_stats)
         else:
             h = conv0(norm0(x, stats=in_stats))
 
@@ -190,10 +199,22 @@ class UNetBlock(nn.Module):
                     # resample the skip with its own module, then it rides
                     # as an identity residual in the tail kernel
                     skip_kernel = 1 if c != in_channels else 0
-                    orig_t = Conv2d(c, kernel=skip_kernel, up=self.up,
-                                    down=self.down, **INIT, name="skip")(orig)
-                    h = conv1(h, fused_norm=fn, fused_residual=(orig_t,),
-                              emit_stats=emit)
+                    if self.up and upres_kernel_enabled():
+                        # the skip rides into the tail at LOW res (1x1-
+                        # projected there if channels differ — commutes
+                        # with nearest upsampling) and is upsampled in VMEM
+                        orig_low = (Conv2d(c, kernel=1, **INIT,
+                                           name="skip")(orig)
+                                    if skip_kernel else orig)
+                        h = conv1(h, fused_norm=fn,
+                                  fused_residual=(orig_low,),
+                                  emit_stats=emit, res_up=True)
+                    else:
+                        orig_t = Conv2d(c, kernel=skip_kernel, up=self.up,
+                                        down=self.down, **INIT,
+                                        name="skip")(orig)
+                        h = conv1(h, fused_norm=fn, fused_residual=(orig_t,),
+                                  emit_stats=emit)
                 elif x2 is not None:
                     skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
                         fold_probe, params_only=True)

@@ -216,6 +216,27 @@ def upconv_phase_enabled() -> bool:
     return os.environ.get("MCEDM_UPCONV", "repeat") == "phase"
 
 
+def upconv_kernel_enabled() -> bool:
+    """Gate for the fused norm+silu+upsample+conv3x3 Pallas kernel
+    (pallas/fused_norm_conv.py::fused_gn_silu_up_conv): the up block's
+    whole prefix in one kernel — the 4x upsampled activation never touches
+    HBM (in-VMEM sublane repeats). MCEDM_UPCONV=kernel enables (pending
+    on-device measurement)."""
+    import os
+
+    return os.environ.get("MCEDM_UPCONV", "repeat") == "kernel"
+
+
+def upres_kernel_enabled() -> bool:
+    """Gate for the up block's in-kernel upsampled identity residual
+    (res_up tail): the skip rides into the tail kernel at LOW res and is
+    2x-repeated in VMEM — the upsampled skip never touches HBM. MCEDM_UPRES=1
+    enables (pending on-device measurement)."""
+    import os
+
+    return os.environ.get("MCEDM_UPRES", "0") == "1"
+
+
 def _upsample_phase_conv(x, w, bias):
     """conv3x3_same(nearest_upsample_2x(x)) without materializing the
     upsampled tensor: the standard transposed-conv phase decomposition.
@@ -297,11 +318,12 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x, fused_norm=None, fused_stats=None,
                  fused_residual=None, emit_stats=False, x2=None,
-                 params_only: bool = False):
+                 params_only: bool = False, res_up: bool = False):
         assert not (self.up and self.down)
         phase_up = False
+        fused_up = (self.up and self.kernel == 3 and fused_norm is not None)
         if not params_only:
-            if self.up:
+            if self.up and not fused_up:
                 if (self.kernel == 3 and fused_norm is None
                         and upconv_phase_enabled()):
                     phase_up = True  # fused upsample+conv below
@@ -331,10 +353,19 @@ class Conv2d(nn.Module):
             # Pallas kernel on TPU, identical-math XLA elsewhere
             # (pallas/fused_norm_conv.py)
             from m_cedm_tpu.pallas.fused_norm_conv import (
-                fused_gn_silu_conv, fused_gn_silu_conv_block)
+                fused_gn_silu_conv, fused_gn_silu_conv_block,
+                fused_gn_silu_up_conv)
 
-            assert k == 3 and not self.up and not self.down
+            assert k == 3 and not self.down
             gamma, beta, num_groups, eps = fused_norm
+            if fused_up:
+                # whole up-block prefix: norm+silu at LOW res, upsample in
+                # VMEM, conv at high res — one kernel, one low-res read
+                assert fused_residual is None and not emit_stats
+                return fused_gn_silu_up_conv(x, gamma, beta, kernel, bias,
+                                             num_groups, eps,
+                                             stats=fused_stats)
+            assert not self.up
             if (fused_stats is None and fused_residual is None
                     and not emit_stats):
                 return fused_gn_silu_conv(x, gamma, beta, kernel, bias,
@@ -354,7 +385,7 @@ class Conv2d(nn.Module):
                 x, gamma, beta, kernel, bias, num_groups, eps, x2=x2,
                 residual=residual, residual2=residual2,
                 skip_w=skip_w, skip_b=skip_b,
-                stats=fused_stats, emit_stats=emit_stats)
+                stats=fused_stats, emit_stats=emit_stats, res_up=res_up)
         if phase_up:
             return _upsample_phase_conv(x, kernel, bias)
         y = jax.lax.conv_general_dilated(

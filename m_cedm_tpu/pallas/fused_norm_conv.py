@@ -162,7 +162,7 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
     (gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, w_ref,
      bias_ref), rest = rest[:7], rest[7:]
     res_ref = res2_ref = skw_ref = skb_ref = None
-    if res_mode == "identity":
+    if res_mode in ("identity", "identity_up"):
         res_ref, rest = rest[0], rest[1:]
     elif res_mode == "proj":
         (res_ref, skw_ref, skb_ref), rest = rest[:3], rest[3:]
@@ -244,6 +244,13 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
                     preferred_element_type=jnp.float32)
     if res_mode == "identity":
         acc = acc + res_ref[0].astype(jnp.float32).reshape(r * wdt, o)
+    elif res_mode == "identity_up":
+        # the up block's identity skip: the LOW-res block input rides in as
+        # a half-size tile and is 2x-upsampled in VMEM (sublane repeats) —
+        # the upsampled skip never touches HBM
+        res_up = jnp.repeat(jnp.repeat(res_ref[0].astype(jnp.float32),
+                                       2, axis=0), 2, axis=1)
+        acc = acc + res_up.reshape(r * wdt, o)
     elif res_mode == "proj":
         cr = res_ref.shape[-1]
         acc = acc + jax.lax.dot_general(
@@ -349,7 +356,12 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     in_specs += [vec_spec, vec_spec, vec_spec, vec_spec, mat_spec, w_spec,
                  bias_spec]
     inputs += [gamma, beta, sums, sumsq, gmat, w2, bias2]
-    if res_mode != "none":
+    if res_mode == "identity_up":
+        in_specs.append(pl.BlockSpec(
+            (1, r // 2, wdt // 2, residual.shape[-1]),
+            lambda i, t: (i, t, 0, 0), memory_space=pltpu.VMEM))
+        inputs.append(residual)
+    elif res_mode != "none":
         in_specs.append(x_spec(residual.shape[-1]))
         inputs.append(residual)
     if res_mode == "proj2":
@@ -383,6 +395,183 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
         out_specs=out_specs,
         out_shape=out_shape,
     )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# Fused norm + SiLU + nearest-upsample-2x + conv3x3 (the up-block prefix)
+# ---------------------------------------------------------------------------
+#
+# The decoder's up blocks run conv0 as conv3x3(upsample2x(silu(gn(x))))
+# (adm_blocks.py:158-161 with up=True; layers.py upsample2x_nearest). In XLA
+# that materializes the 4x upsampled activation in HBM (broadcast write +
+# full-res read). This kernel normalizes the LOW-res strip (silu∘gn commutes
+# with nearest upsampling exactly), duplicates rows/columns in VMEM —
+# sublane repeats, which this Mosaic accepts, unlike the lane-repacking
+# reshapes an in-kernel *interleave* would need — and convolves at high res
+# in place: read x (low res), write out (high res); the upsampled tensor
+# never exists in HBM.
+
+
+def gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups: int,
+                              eps: float = 1e-5):
+    """conv3x3_same(upsample2x_nearest(silu(gn(x)*gamma+beta))) + bias."""
+    b, h, wdt, c = x.shape
+    y = group_norm_silu_reference(x.reshape(b, h * wdt, c), gamma, beta,
+                                  num_groups, eps)
+    y = y.reshape(b, h, wdt, c).astype(x.dtype)
+    y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+    out = jax.lax.conv_general_dilated(
+        y, w.astype(y.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _gnsc_up_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref, sums_ref,
+                    sumsq_ref, gmat_ref, w_ref, bias_ref, out_ref,
+                    *, n: int, eps: float, n_tiles: int):
+    """Grid (B, H/R) over LOW-res row tiles; each step writes a (2R, 2W, O)
+    high-res output tile. High-res rows [2tR-1, 2tR+2R] map to low-res rows
+    [tR-1, tR+R] (j -> j//2), so the halo structure is identical to the
+    standard kernel's."""
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, wdt, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    o = out_ref.shape[-1]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = (gamma_ref[pl.ds(b, 1), :] * rstd).reshape(1, 1, c)
+    beta = (beta_ref[pl.ds(b, 1), :]
+            - gamma_ref[pl.ds(b, 1), :] * rstd * mean).reshape(1, 1, c)
+    top_live = (t > 0).astype(jnp.float32)
+    bot_live = (t < n_tiles - 1).astype(jnp.float32)
+    mm_dtype = xc_ref.dtype
+
+    # normalize the low-res strip (halo rows zeroed after normalization:
+    # SAME padding applies to the upsampled activation's edges)
+    top = xp_ref[0].astype(jnp.float32) * top_live
+    bot = xn_ref[0].astype(jnp.float32) * bot_live
+    strip = jnp.concatenate([top, xc_ref[0].astype(jnp.float32), bot],
+                            axis=0)
+    y = strip * gamma + beta
+    y = y * jax.nn.sigmoid(y)
+    top_row = jax.lax.slice(y, (0, 0, 0), (1, wdt, c)) * top_live
+    mid = jax.lax.slice(y, (1, 0, 0), (1 + r, wdt, c))
+    bot_row = jax.lax.slice(y, (1 + r, 0, 0), (2 + r, wdt, c)) * bot_live
+
+    # upsample in VMEM: high-res padded rows [2tR-1, 2tR+2R] = 1 halo row
+    # (2nd copy of low-res row tR-1) + 2x-repeated mid + 1 halo row (1st
+    # copy of low-res row tR+R)
+    mid_up = jnp.repeat(mid.astype(mm_dtype), 2, axis=0)
+    ypad = jnp.concatenate([top_row.astype(mm_dtype), mid_up,
+                            bot_row.astype(mm_dtype)], axis=0)
+    ypad = jnp.repeat(ypad, 2, axis=1)  # (2R+2, 2W, C)
+    zcol = jnp.zeros((2 * r + 2, 1, c), mm_dtype)
+    ypad = jnp.concatenate([zcol, ypad, zcol], axis=1)  # (2R+2, 2W+2, C)
+
+    r2, w2 = 2 * r, 2 * wdt
+    acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r2 * w2, o))
+    for dr in range(3):
+        for dwi in range(3):
+            blk = jax.lax.slice(ypad, (dr, dwi, 0), (dr + r2, dwi + w2, c))
+            acc = acc + jax.lax.dot_general(
+                blk.reshape(r2 * w2, c), w_ref[pl.ds((dr * 3 + dwi) * c, c), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(r2, w2, o).astype(out_ref.dtype)
+
+
+def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    n = h * wdt
+    r = _row_tile(h, x.dtype)
+    n_tiles = h // r
+    if stats is not None:
+        sums, sumsq = stats
+    else:
+        sums, sumsq = _compute_stats(x.reshape(b, n, c), _tile_rows(n))
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    w2 = w.astype(x.dtype).reshape(9 * c, o)
+    bias2 = (bias if bias is not None
+             else jnp.zeros((o,))).astype(jnp.float32).reshape(1, o)
+    x_prev, x_next = _halo_rows(x, r)
+
+    x_spec = pl.BlockSpec((1, r, wdt, c), lambda i, t: (i, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hp = pl.BlockSpec((1, 1, wdt, c),
+                      lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    hn = pl.BlockSpec((1, 1, wdt, c),
+                      lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1), 0, 0),
+                      memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((b, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((c, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((9 * c, o), lambda i, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, o), lambda i, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 2 * r, 2 * wdt, o), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_gnsc_up_kernel, n=n, eps=eps, n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[hp, x_spec, hn, vec_spec, vec_spec, vec_spec, vec_spec,
+                  mat_spec, w_spec, bias_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, o), x.dtype),
+    )(x_prev, x, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8))
+def _up_core(x, gamma, beta, w, bias, num_groups, eps, stats_in, has_stats):
+    out, _ = _up_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in,
+                     has_stats)
+    return out
+
+
+def _up_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in, has_stats):
+    if _use_pallas(x):
+        out = _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps,
+                              stats=tuple(stats_in) if has_stats else None)
+    else:
+        out = gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups,
+                                        eps)
+    return out, (x, gamma, beta, w, bias, stats_in)
+
+
+def _up_bwd(num_groups, eps, has_stats, residuals, g):
+    x, gamma, beta, w, bias, stats_in = residuals
+
+    def f(x, gamma, beta, w, bias):
+        return gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups,
+                                         eps)
+
+    _, vjp = jax.vjp(f, x, gamma, beta, w, bias)
+    grads = vjp(g)
+    return grads + (jax.tree_util.tree_map(jnp.zeros_like, stats_in),)
+
+
+_up_core.defvjp(_up_fwd, _up_bwd)
+
+
+def fused_gn_silu_up_conv(x, gamma, beta, w, bias, num_groups: int,
+                          eps: float = 1e-5, stats=None):
+    """conv3x3_same(upsample2x_nearest(silu(gn(x)*gamma+beta))) + bias.
+
+    Pallas on TPU (upsample in VMEM — the 4x tensor never touches HBM),
+    identical-math XLA elsewhere. `stats`: chained (sums, sumsq) of x.
+    Backward: XLA autodiff of the reference composition (the up blocks run
+    unfused in train traces; this op serves the sampling path)."""
+    zc = jnp.zeros((0,), jnp.float32)
+    return _up_core(x, gamma, beta, w,
+                    bias if bias is not None else zc,
+                    num_groups, eps,
+                    tuple(stats) if stats is not None else (zc, zc),
+                    stats is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -680,7 +869,8 @@ def fused_gn_silu_conv(x, gamma, beta, w, bias, num_groups: int,
 def fused_gn_silu_conv_block(x, gamma, beta, w, bias, num_groups: int,
                              eps: float = 1e-5, *, x2=None, residual=None,
                              residual2=None, skip_w=None, skip_b=None,
-                             stats=None, emit_stats: bool = False):
+                             stats=None, emit_stats: bool = False,
+                             res_up: bool = False):
     """The whole residual-block tail in one kernel:
 
         out = conv3x3_same(silu(group_norm(xin) * gamma + beta)) + bias
@@ -712,8 +902,10 @@ def fused_gn_silu_conv_block(x, gamma, beta, w, bias, num_groups: int,
         res_mode = "proj2"
     elif residual is None:
         res_mode = "none"
+    elif skip_w is not None:
+        res_mode = "proj"
     else:
-        res_mode = "proj" if skip_w is not None else "identity"
+        res_mode = "identity_up" if res_up else "identity"
     zc = jnp.zeros((0,), jnp.float32)
     return _block_core(
         x, gamma, beta, w,
@@ -750,6 +942,8 @@ def _block_reference(x, gamma, beta, w, bias, x2, residual, residual2,
     res = residual if res_mode != "none" else None
     if res_mode == "proj2":
         res = jnp.concatenate([residual, residual2], axis=-1)
+    elif res_mode == "identity_up":
+        res = jnp.repeat(jnp.repeat(residual, 2, axis=1), 2, axis=2)
     out = gn_silu_conv_block_reference(
         xin, gamma, beta, w, bias if has_bias else None, num_groups, eps,
         residual=res,

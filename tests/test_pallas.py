@@ -656,3 +656,81 @@ class TestFusedNormConvBackward:
             b32 = np.asarray(b_, np.float32)
             scale = np.abs(b32).max()
             assert np.abs(a32 - b32).max() <= 0.05 * max(scale, 1.0), name
+
+
+class TestUpConvKernel:
+    """Fused norm+silu+upsample2x+conv3x3 kernel and the res_up tail."""
+
+    def _force(self, monkeypatch):
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        orig_call = pl.pallas_call
+        wrapped = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn.pl, "pallas_call", wrapped, raising=False)
+        monkeypatch.setattr(fnc.pl, "pallas_call", wrapped, raising=False)
+        monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        return fnc
+
+    def test_up_kernel_interpret_matches_reference(self, monkeypatch):
+        fnc = self._force(monkeypatch)
+        rs = np.random.RandomState(5)
+        x = jnp.asarray(rs.randn(2, 32, 16, 16).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(2, 16).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(2, 16).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 16, 24).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(24).astype(np.float32))
+        got = fnc.fused_gn_silu_up_conv(x, gamma, beta, w, bias, 4)
+        want = fnc.gn_silu_up_conv_reference(x, gamma, beta, w, bias, 4)
+        assert got.shape == (2, 64, 32, 24)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        # reference itself == unfused composition
+        y = group_norm_silu_reference(x.reshape(2, -1, 16), gamma, beta, 4)
+        y = jnp.repeat(jnp.repeat(y.reshape(x.shape), 2, 1), 2, 2)
+        comp = jax.lax.conv_general_dilated(
+            y, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        np.testing.assert_allclose(np.asarray(want), np.asarray(comp),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_res_up_tail_interpret(self, monkeypatch):
+        """identity_up residual: low-res skip upsampled in VMEM == upsample
+        then add."""
+        fnc = self._force(monkeypatch)
+        rs = np.random.RandomState(6)
+        x = jnp.asarray(rs.randn(2, 32, 16, 16).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(2, 16).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(2, 16).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 16, 16).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(16).astype(np.float32))
+        res_low = jnp.asarray(rs.randn(2, 16, 8, 16).astype(np.float32))
+        got = fnc.fused_gn_silu_conv_block(x, gamma, beta, w, bias, 4,
+                                           residual=res_low, res_up=True)
+        res_hi = jnp.repeat(jnp.repeat(res_low, 2, 1), 2, 2)
+        want = fnc.gn_silu_conv_block_reference(x, gamma, beta, w, bias, 4,
+                                                residual=res_hi)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_admunet_up_kernel_toggle_same_outputs(self, monkeypatch):
+        """Full AdmUNet: MCEDM_UPCONV=kernel + MCEDM_UPRES=1 == default
+        path (CPU reference math; pins the wiring + param-tree compat)."""
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=32,
+                            ch_mult=(1, 1), num_res_blocks=1,
+                            attn_resolutions=(16,), resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([1.5, 0.3])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        out_ref = net.apply(params, x, t)
+        monkeypatch.setenv("MCEDM_UPCONV", "kernel")
+        monkeypatch.setenv("MCEDM_UPRES", "1")
+        out_k = net.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
