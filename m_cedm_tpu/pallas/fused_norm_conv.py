@@ -193,24 +193,45 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
     # accumulation stays fp32 (MXU native).
     mm_dtype = xc_ref.dtype
 
+    import os as _os
+
+    pad_v2 = _os.environ.get("MCEDM_PAD", "2") == "2"
+
     def norm_pad(xp, xc, xn, gamma_s, beta_s):
-        """(R+2, W+2, Ci) normalized, silu'd, halo/W-zero-padded strip."""
+        """(R+2, W+2, Ci) normalized, silu'd, halo/W-zero-padded strip.
+
+        v2 (default) normalizes the three pieces separately and concatenates
+        once per axis in the matmul dtype: no full-strip fp32 concat, no
+        re-zeroing slices, no separate cast pass — per-step in-VMEM copies
+        are the kernels' measured floor, so every saved copy counts.
+        MCEDM_PAD=1 keeps the round-2 structure for same-process A/B."""
         ci = xc.shape[3]
+        zcol = jnp.zeros((r + 2, 1, ci), mm_dtype)
+        if pad_v2:
+            def ns(v, live=None):
+                y = v.astype(jnp.float32) * gamma_s + beta_s
+                y = y * jax.nn.sigmoid(y)
+                if live is not None:
+                    # off-image halo rows must contribute zeros to the conv
+                    # (beta shifts the already-zeroed halo inputs)
+                    y = y * live
+                return y.astype(mm_dtype)
+
+            y = jnp.concatenate([ns(xp[0], top_live), ns(xc[0]),
+                                 ns(xn[0], bot_live)], axis=0)
+            return jnp.concatenate([zcol, y, zcol], axis=1)
         top = xp[0].astype(jnp.float32) * top_live  # (1, W, Ci)
         bot = xn[0].astype(jnp.float32) * bot_live
         strip = jnp.concatenate([top, xc[0].astype(jnp.float32), bot],
                                 axis=0)
         y = strip * gamma_s + beta_s
         y = y * jax.nn.sigmoid(y)
-        # off-image halo rows must contribute zeros to the conv: beta shifts
-        # the already-zeroed halo inputs, so re-zero them explicitly
         top_row = jax.lax.slice(y, (0, 0, 0), (1, wdt, ci)) * top_live
         mid = jax.lax.slice(y, (1, 0, 0), (1 + r, wdt, ci))
         bot_row = jax.lax.slice(y, (1 + r, 0, 0), (2 + r, wdt, ci)) * bot_live
         y = jnp.concatenate([top_row, mid, bot_row], axis=0).astype(mm_dtype)
         # zero-pad the W axis via concatenation (Mosaic lacks
         # dynamic_update_slice on the TC core)
-        zcol = jnp.zeros((r + 2, 1, ci), mm_dtype)
         return jnp.concatenate([zcol, y, zcol], axis=1)
 
     ypad = norm_pad(xp_ref, xc_ref, xn_ref,
@@ -245,11 +266,10 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
     if res_mode == "identity":
         acc = acc + res_ref[0].astype(jnp.float32).reshape(r * wdt, o)
     elif res_mode == "identity_up":
-        # the up block's identity skip: the LOW-res block input rides in as
-        # a half-size tile and is 2x-upsampled in VMEM (sublane repeats) —
-        # the upsampled skip never touches HBM
-        res_up = jnp.repeat(jnp.repeat(res_ref[0].astype(jnp.float32),
-                                       2, axis=0), 2, axis=1)
+        # the up block's identity skip rides in as a half-ROW tile (width
+        # pre-repeated in XLA — Mosaic rejects the sublane interleave) and
+        # is row-upsampled in VMEM: the fully-upsampled skip never exists
+        res_up = jnp.repeat(res_ref[0].astype(jnp.float32), 2, axis=0)
         acc = acc + res_up.reshape(r * wdt, o)
     elif res_mode == "proj":
         cr = res_ref.shape[-1]
@@ -357,10 +377,11 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                  bias_spec]
     inputs += [gamma, beta, sums, sumsq, gmat, w2, bias2]
     if res_mode == "identity_up":
+        # width pre-repeated in XLA (half-res cost); rows repeat in-kernel
         in_specs.append(pl.BlockSpec(
-            (1, r // 2, wdt // 2, residual.shape[-1]),
+            (1, r // 2, wdt, residual.shape[-1]),
             lambda i, t: (i, t, 0, 0), memory_space=pltpu.VMEM))
-        inputs.append(residual)
+        inputs.append(jnp.repeat(residual, 2, axis=2))
     elif res_mode != "none":
         in_specs.append(x_spec(residual.shape[-1]))
         inputs.append(residual)
@@ -432,12 +453,16 @@ def gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups: int,
 def _gnsc_up_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref, sums_ref,
                     sumsq_ref, gmat_ref, w_ref, bias_ref, out_ref,
                     *, n: int, eps: float, n_tiles: int):
-    """Grid (B, H/R) over LOW-res row tiles; each step writes a (2R, 2W, O)
-    high-res output tile. High-res rows [2tR-1, 2tR+2R] map to low-res rows
-    [tR-1, tR+R] (j -> j//2), so the halo structure is identical to the
-    standard kernel's."""
+    """Grid (B, H/R) over row tiles of the WIDTH-pre-upsampled input
+    (B, H, 2W, C); each step writes a (2R, 2W, O) high-res output tile.
+    High-res rows [2tR-1, 2tR+2R] map to input rows [tR-1, tR+R]
+    (j -> j//2), so the halo structure is identical to the standard
+    kernel's. The ROW interleave happens in VMEM via an axis-0 repeat (the
+    untiled axis — allowed); the WIDTH interleave cannot (Mosaic rejects
+    sublane-interleaving reshapes: vector<...> -> unit-dim-inserting shape
+    casts), so the caller pre-repeats W in XLA at half-res cost."""
     b, t = pl.program_id(0), pl.program_id(1)
-    r, wdt, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    r, w2, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
     o = out_ref.shape[-1]
     mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
                             sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
@@ -448,29 +473,25 @@ def _gnsc_up_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref, sums_ref,
     bot_live = (t < n_tiles - 1).astype(jnp.float32)
     mm_dtype = xc_ref.dtype
 
-    # normalize the low-res strip (halo rows zeroed after normalization:
-    # SAME padding applies to the upsampled activation's edges)
-    top = xp_ref[0].astype(jnp.float32) * top_live
-    bot = xn_ref[0].astype(jnp.float32) * bot_live
-    strip = jnp.concatenate([top, xc_ref[0].astype(jnp.float32), bot],
-                            axis=0)
-    y = strip * gamma + beta
-    y = y * jax.nn.sigmoid(y)
-    top_row = jax.lax.slice(y, (0, 0, 0), (1, wdt, c)) * top_live
-    mid = jax.lax.slice(y, (1, 0, 0), (1 + r, wdt, c))
-    bot_row = jax.lax.slice(y, (1 + r, 0, 0), (2 + r, wdt, c)) * bot_live
+    def ns(v, live=None):
+        y = v.astype(jnp.float32) * gamma + beta
+        y = y * jax.nn.sigmoid(y)
+        if live is not None:
+            # off-image halo rows contribute zeros (SAME padding applies to
+            # the upsampled activation's edges)
+            y = y * live
+        return y.astype(mm_dtype)
 
-    # upsample in VMEM: high-res padded rows [2tR-1, 2tR+2R] = 1 halo row
-    # (2nd copy of low-res row tR-1) + 2x-repeated mid + 1 halo row (1st
-    # copy of low-res row tR+R)
-    mid_up = jnp.repeat(mid.astype(mm_dtype), 2, axis=0)
-    ypad = jnp.concatenate([top_row.astype(mm_dtype), mid_up,
-                            bot_row.astype(mm_dtype)], axis=0)
-    ypad = jnp.repeat(ypad, 2, axis=1)  # (2R+2, 2W, C)
+    # row-upsample in VMEM: high-res padded rows [2tR-1, 2tR+2R] = 1 halo
+    # row (2nd copy of input row tR-1) + 2x row-repeated mid + 1 halo row
+    # (1st copy of input row tR+R)
+    mid_up = jnp.repeat(ns(xc_ref[0]), 2, axis=0)
+    ypad = jnp.concatenate([ns(xp_ref[0], top_live), mid_up,
+                            ns(xn_ref[0], bot_live)], axis=0)
     zcol = jnp.zeros((2 * r + 2, 1, c), mm_dtype)
     ypad = jnp.concatenate([zcol, ypad, zcol], axis=1)  # (2R+2, 2W+2, C)
 
-    r2, w2 = 2 * r, 2 * wdt
+    r2 = 2 * r
     acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r2 * w2, o))
     for dr in range(3):
         for dwi in range(3):
@@ -491,19 +512,25 @@ def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
     if stats is not None:
         sums, sumsq = stats
     else:
+        # stats over the LOW-res input (column duplication preserves the
+        # per-channel mean/var, so low-res stats are the upsampled stats)
         sums, sumsq = _compute_stats(x.reshape(b, n, c), _tile_rows(n))
     gmat = jnp.asarray(_group_matrix(num_groups, c))
     w2 = w.astype(x.dtype).reshape(9 * c, o)
     bias2 = (bias if bias is not None
              else jnp.zeros((o,))).astype(jnp.float32).reshape(1, o)
-    x_prev, x_next = _halo_rows(x, r)
+    # WIDTH is pre-upsampled in XLA at half-res cost (Mosaic rejects the
+    # in-kernel sublane interleave); rows interleave inside the kernel
+    xw = jnp.repeat(x, 2, axis=2)
+    x_prev, x_next = _halo_rows(xw, r)
+    w2dt = 2 * wdt
 
-    x_spec = pl.BlockSpec((1, r, wdt, c), lambda i, t: (i, t, 0, 0),
+    x_spec = pl.BlockSpec((1, r, w2dt, c), lambda i, t: (i, t, 0, 0),
                           memory_space=pltpu.VMEM)
-    hp = pl.BlockSpec((1, 1, wdt, c),
+    hp = pl.BlockSpec((1, 1, w2dt, c),
                       lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
                       memory_space=pltpu.VMEM)
-    hn = pl.BlockSpec((1, 1, wdt, c),
+    hn = pl.BlockSpec((1, 1, w2dt, c),
                       lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1), 0, 0),
                       memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((b, c), lambda i, t: (0, 0),
@@ -523,7 +550,7 @@ def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
                   mat_spec, w_spec, bias_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, o), x.dtype),
-    )(x_prev, x, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2)
+    )(x_prev, xw, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8))
