@@ -672,14 +672,17 @@ def _act_from_x(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref,
 def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
                        has_res: bool):
     """Phase A: accumulate dW (9C, O), dbias (1, O), dgamma/dbeta (B, C)
-    [, dskip_w (C_res, O)] over the (B, H/R) grid."""
+    [, dskip_w (C_res, O)] over the (B, H/R) grid, and emit da (the
+    pre-activation cotangent) as a full tensor — dx is then ONE fused XLA
+    elementwise pass (dx = rstd*(gamma*da - m1 - xhat*m2) with per-(B,C)
+    coefficients), so the transpose-conv taps run exactly once."""
     (gp_ref, gc_ref, gn_ref, x_ref, gamma_ref, beta_ref, sums_ref,
      sumsq_ref, gmat_ref, wt_ref), rest = refs[:10], refs[10:]
     res_ref = None
     if has_res:
         res_ref, rest = rest[0], rest[1:]
-    dw_ref, db_ref, dgamma_ref, dbeta_ref = rest[:4]
-    dskw_ref = rest[4] if has_res else None
+    dw_ref, db_ref, dgamma_ref, dbeta_ref, da_ref = rest[:5]
+    dskw_ref = rest[5] if has_res else None
     b, t = pl.program_id(0), pl.program_id(1)
     r, wdt, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     o = gc_ref.shape[-1]
@@ -734,50 +737,7 @@ def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
     dgamma_ref[pl.ds(b, 1), :] += jnp.sum(
         da * xhat.reshape(r * wdt, c), axis=0, keepdims=True)
     dbeta_ref[pl.ds(b, 1), :] += jnp.sum(da, axis=0, keepdims=True)
-
-
-def _gnsc_bwd_kernel_b(*refs, n: int, eps: float, n_tiles: int,
-                       dres_out: bool):
-    """Phase B: dx = rstd * (gamma*da - m1 - xhat*m2) per tile
-    [+ dres = g @ skip_w^T — the 1x1 skip's input cotangent while g is
-    resident]."""
-    (gp_ref, gc_ref, gn_ref, x_ref, gamma_ref, beta_ref, sums_ref,
-     sumsq_ref, gmat_ref, wt_ref, m1_ref, m2_ref), rest = refs[:12], refs[12:]
-    skwt_ref = None
-    if dres_out:
-        skwt_ref, rest = rest[0], rest[1:]
-    dx_ref = rest[0]
-    dres_ref = rest[1] if dres_out else None
-    b, t = pl.program_id(0), pl.program_id(1)
-    r, wdt, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    o = gc_ref.shape[-1]
-    top_live = (t > 0).astype(jnp.float32)
-    bot_live = (t < n_tiles - 1).astype(jnp.float32)
-    mm_dtype = x_ref.dtype
-
-    xhat, _, dsilu, gamma, rstd = _act_from_x(
-        x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, b, n, eps)
-    gpad = _g_pad(gp_ref, gc_ref, gn_ref, r, wdt, o, top_live, bot_live,
-                  mm_dtype)
-    ds = jnp.zeros((r * wdt, c), jnp.float32)
-    for dr in range(3):
-        for dwi in range(3):
-            gs = jax.lax.slice(gpad, (2 - dr, 2 - dwi, 0),
-                               (2 - dr + r, 2 - dwi + wdt, o))
-            ds = ds + jax.lax.dot_general(
-                gs.reshape(r * wdt, o),
-                wt_ref[pl.ds((dr * 3 + dwi) * o, o), :],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    da = ds.reshape(r, wdt, c) * dsilu
-    m1 = m1_ref[pl.ds(b, 1), :].reshape(1, 1, c)
-    m2 = m2_ref[pl.ds(b, 1), :].reshape(1, 1, c)
-    dx_ref[0] = (rstd * (gamma * da - m1 - xhat * m2)).astype(dx_ref.dtype)
-    if dres_out:
-        cr = skwt_ref.shape[-1]
-        dres = jax.lax.dot_general(
-            gc_ref[0].astype(mm_dtype).reshape(r * wdt, o), skwt_ref[:],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dres_ref[0] = dres.reshape(r, wdt, cr).astype(dres_ref.dtype)
+    da_ref[0] = da.reshape(r, wdt, c).astype(da_ref.dtype)
 
 
 def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
@@ -817,18 +777,20 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
     in_specs = [halo_p, x_spec(o), halo_n, x_spec(c), vec_spec, vec_spec,
                 vec_spec, vec_spec, const_spec(c, c), const_spec(9 * o, c)]
     inputs = [g_prev, g, g_next, x, gamma, beta, sums, sumsq, gmat, wt]
-    out_specs = [const_spec(9 * c, o), const_spec(1, o), vec_spec, vec_spec]
+    out_specs = [const_spec(9 * c, o), const_spec(1, o), vec_spec, vec_spec,
+                 x_spec(c)]
     out_shape = [jax.ShapeDtypeStruct((9 * c, o), jnp.float32),
                  jax.ShapeDtypeStruct((1, o), jnp.float32),
                  jax.ShapeDtypeStruct((b, c), jnp.float32),
-                 jax.ShapeDtypeStruct((b, c), jnp.float32)]
+                 jax.ShapeDtypeStruct((b, c), jnp.float32),
+                 jax.ShapeDtypeStruct(x.shape, x.dtype)]
     if has_res:
         cr = residual.shape[-1]
         in_specs.append(x_spec(cr))
         inputs.append(residual)
         out_specs.append(const_spec(cr, o))
         out_shape.append(jax.ShapeDtypeStruct((cr, o), jnp.float32))
-    dw9, db, dgamma, dbeta, *rest_a = pl.pallas_call(
+    dw9, db, dgamma, dbeta, da, *rest_a = pl.pallas_call(
         functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
                           has_res=has_res),
         grid=(b, n_tiles),
@@ -837,33 +799,22 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         out_shape=out_shape,
     )(*inputs)
 
-    # GroupNorm reduction terms from phase A's channel sums (see header)
+    # dx in ONE fused XLA elementwise pass: the GroupNorm reduction terms
+    # come from phase A's channel sums via the identities in the header
+    mean, rstd = _mean_rstd(sums, sumsq, gmat, n, eps)
     m1 = _gc(gamma * dbeta / n, gmat)
     m2 = _gc(gamma * dgamma / n, gmat)
-
-    in_specs_b = in_specs[:10] + [vec_spec, vec_spec]
-    inputs_b = inputs[:10] + [m1, m2]
-    out_specs_b = [x_spec(c)]
-    out_shape_b = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
-    if has_res:
-        cr = residual.shape[-1]
-        skwt = jnp.transpose(skip_w.astype(x.dtype))  # (O, C_res)
-        in_specs_b.append(const_spec(o, cr))
-        inputs_b.append(skwt)
-        out_specs_b.append(x_spec(cr))
-        out_shape_b.append(jax.ShapeDtypeStruct((b, h, wdt, cr), g.dtype))
-    outs_b = pl.pallas_call(
-        functools.partial(_gnsc_bwd_kernel_b, n=n, eps=eps, n_tiles=n_tiles,
-                          dres_out=has_res),
-        grid=(b, n_tiles),
-        in_specs=in_specs_b,
-        out_specs=out_specs_b,
-        out_shape=out_shape_b,
-    )(*inputs_b)
-    dx = outs_b[0] if isinstance(outs_b, (list, tuple)) else outs_b
+    a_c = (rstd * gamma)[:, None, None, :]
+    b_c = (rstd * rstd * m2)[:, None, None, :]
+    c_c = (rstd * m1)[:, None, None, :]
+    mean_c = mean[:, None, None, :]
+    dx = (da.astype(jnp.float32) * a_c
+          - (x.astype(jnp.float32) - mean_c) * b_c - c_c).astype(x.dtype)
     dw = dw9.reshape(3, 3, c, o).astype(w.dtype)
     if has_res:
-        dres = outs_b[1]
+        # the 1x1 skip's input cotangent — a single XLA matmul
+        dres = jnp.einsum("bhwo,ro->bhwr", g.astype(x.dtype),
+                          skip_w.astype(x.dtype))
         dskw = rest_a[0].astype(skip_w.dtype)
         return dx, dgamma, dbeta, dw, db.reshape(o), dres, dskw, db.reshape(o)
     return dx, dgamma, dbeta, dw, db.reshape(o)
