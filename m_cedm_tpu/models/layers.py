@@ -111,22 +111,23 @@ def conv_fusion_enabled() -> bool:
 
 def train_fusion_mode() -> str:
     """MCEDM_TRAIN_FUSION selects how grad-bearing graphs trace:
-      "train": fused kernels with the hand-written Pallas backwards
-              (pallas/fused_norm_conv.py phase A/B); stats
-              chaining/emission off.
-      "0" (default): fusion fully off — XLA autodiff of the unfused
-              composition (the round-2 production setting: 45.1 ms/step vs
-              the 64.1 of the recompute-backward fusion, B=16 res128 bf16).
-              The default flips to "train" once the on-device A/B
-              (tools/bench_train_bwd.py) confirms the backward kernels win.
+      "train" (default): fused kernels with the hand-written Pallas
+              backward (phase A emits dW/db/dgamma/dbeta + da; dx is one
+              fused XLA pass); stats chaining/emission off. Measured
+              1.022x vs mode 0 same-session (70.0 vs 71.5 ms/step, B=16
+              res128 bf16; the earlier two-phase backward was parity at
+              77.3 vs 77.2).
+      "0":    fusion fully off — XLA autodiff of the unfused composition
+              (the round-2 production setting).
       "full": sampling-mode fusion incl. stats chaining; backward falls
               back to XLA recompute where cotangents flow through
-              chained/emitted stats (the round-2 "1" setting)."""
+              chained/emitted stats (measured 93.3 ms same-session — the
+              round-2 loser, kept re-measurable)."""
     import os
 
-    v = os.environ.get("MCEDM_TRAIN_FUSION", "0")
+    v = os.environ.get("MCEDM_TRAIN_FUSION", "train")
     return {"0": "0", "1": "train", "train": "train", "full": "full"}.get(
-        v, "0")
+        v, "train")
 
 
 class disable_conv_fusion:
@@ -218,23 +219,25 @@ def upconv_phase_enabled() -> bool:
 
 def upconv_kernel_enabled() -> bool:
     """Gate for the fused norm+silu+upsample+conv3x3 Pallas kernel
-    (pallas/fused_norm_conv.py::fused_gn_silu_up_conv): the up block's
-    whole prefix in one kernel — the 4x upsampled activation never touches
-    HBM (in-VMEM sublane repeats). MCEDM_UPCONV=kernel enables (pending
-    on-device measurement)."""
+    (pallas/fused_norm_conv.py::fused_gn_silu_up_conv): rows interleave in
+    VMEM, width pre-repeats in XLA (Mosaic rejects sublane interleaves).
+    Default OFF: same-session sampler A/B measured it SLOWER (1099.1 vs
+    1083.5 ms, 50-step Heun B=16 res128 bf16) — the half-res W-repeat +
+    full-width kernel reads cost more than the saved upsample
+    materialization. MCEDM_UPCONV=kernel re-enables."""
     import os
 
     return os.environ.get("MCEDM_UPCONV", "repeat") == "kernel"
 
 
 def upres_kernel_enabled() -> bool:
-    """Gate for the up block's in-kernel upsampled identity residual
-    (res_up tail): the skip rides into the tail kernel at LOW res and is
-    2x-repeated in VMEM — the upsampled skip never touches HBM. MCEDM_UPRES=1
-    enables (pending on-device measurement)."""
+    """Gate for the up block's upsampled identity residual riding into the
+    tail kernel at half rows (width pre-repeated in XLA, rows repeated in
+    VMEM). Default ON: same-session sampler A/B measured 1.014x (1068.7 vs
+    1083.5 ms, 50-step Heun B=16 res128 bf16). MCEDM_UPRES=0 reverts."""
     import os
 
-    return os.environ.get("MCEDM_UPRES", "0") == "1"
+    return os.environ.get("MCEDM_UPRES", "1") == "1"
 
 
 def _upsample_phase_conv(x, w, bias):

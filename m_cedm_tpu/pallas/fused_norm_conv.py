@@ -34,9 +34,13 @@ statistics ride in as the same (B, C) sum/sumsq vectors used by fused_norm
 channel grouping; weights ride as a 2D (9C, O) block and bias as (1, O) —
 Mosaic rejects 1D blocks and >2D ref indexing).
 
-Backward falls back to XLA autodiff of the identical-math reference
-composition (recompute; nothing is stored but the inputs) — sampling (the
-headline metric) only runs the forward.
+Backward (training): a hand-written phase-A kernel accumulates
+dW/dbias/dgamma/dbeta and emits the pre-activation cotangent da (the
+transpose-conv taps are mirrored slices of the same zero-padded strip);
+dx then follows as one fused XLA elementwise pass and the skip cotangents
+as plain XLA matmuls/pools. Measured 1.022x over unfused XLA autodiff and
+1.33x over the recompute fallback (same-session, B=16 res128 bf16) —
+MCEDM_BWD_KERNEL=0 restores the recompute path.
 """
 from __future__ import annotations
 
@@ -121,12 +125,32 @@ def _out_stats_reference(out):
 def _row_tile(h: int, dtype=None) -> int:
     """Row-tile dividing h. 16 everywhere: R=32 at 128x128 fp32 crashes this
     backend's Mosaic compile helper (empirically), and R=32 measured no
-    faster in bf16. Per-step VMEM stays tiny."""
+    faster in bf16. Per-step VMEM stays tiny. MCEDM_TILE_R overrides for
+    on-device experiments (R == H removes the halo machinery entirely —
+    pair with the raised VMEM cap below)."""
     del dtype
+    import os
+
+    r_env = os.environ.get("MCEDM_TILE_R")
+    if r_env:
+        r = int(r_env)
+        if 0 < r <= h and h % r == 0:
+            return r
     for r in (16, 8):
         if h % r == 0:
             return r
     return 0
+
+
+def _compiler_params(r: int, wdt: int, c: int):
+    """Raise the scoped-VMEM cap (default 16 MB; v5e has 128 MB). The fp32
+    proj-tail kernel's stack measures ~18 MB at the flagship shape (Mosaic
+    materializes the tap slices concurrently), and MCEDM_TILE_R experiments
+    with whole-image strips need far more."""
+    need = max(r * wdt * c * 4 * 8,  # rough: fp32 strip copies + staging
+               32 * 2 ** 20)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(need * 1.5), 110 * 2 ** 20))
 
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
@@ -203,8 +227,9 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
         v2 (default) normalizes the three pieces separately and concatenates
         once per axis in the matmul dtype: no full-strip fp32 concat, no
         re-zeroing slices, no separate cast pass — per-step in-VMEM copies
-        are the kernels' measured floor, so every saved copy counts.
-        MCEDM_PAD=1 keeps the round-2 structure for same-process A/B."""
+        are the kernels' measured floor (same-session A/B: 1.010x on the
+        50-step sampler, 1080.0 -> 1068.8 ms). MCEDM_PAD=1 keeps the
+        round-2 structure for re-measurement."""
         ci = xc.shape[3]
         zcol = jnp.zeros((r + 2, 1, ci), mm_dtype)
         if pad_v2:
@@ -407,6 +432,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, o), jnp.float32),
                      jax.ShapeDtypeStruct((b, o), jnp.float32)]
+    cp = _compiler_params(r, wdt, c)
     return pl.pallas_call(
         functools.partial(_gnsc_kernel, n=n, eps=eps, n_tiles=n_tiles,
                           res_mode=res_mode, emit_stats=emit_stats,
@@ -415,6 +441,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        **({"compiler_params": cp} if cp else {}),
     )(*inputs)
 
 
@@ -550,6 +577,7 @@ def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
                   mat_spec, w_spec, bias_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, o), x.dtype),
+        compiler_params=_compiler_params(2 * r, 2 * wdt, c),
     )(x_prev, xw, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2)
 
 
@@ -790,6 +818,7 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         inputs.append(residual)
         out_specs.append(const_spec(cr, o))
         out_shape.append(jax.ShapeDtypeStruct((cr, o), jnp.float32))
+    cp = _compiler_params(r, wdt, c + o)
     dw9, db, dgamma, dbeta, da, *rest_a = pl.pallas_call(
         functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
                           has_res=has_res),
@@ -797,6 +826,7 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        **({"compiler_params": cp} if cp else {}),
     )(*inputs)
 
     # dx in ONE fused XLA elementwise pass: the GroupNorm reduction terms
@@ -974,20 +1004,28 @@ def _block_bwd(num_groups, eps, res_mode, emit_stats, has_bias, has_skip_b,
      sums_in, sumsq_in, saved_stats) = residuals
 
     if (saved_stats is not None and bwd_kernel_enabled() and not emit_stats
-            and not has_x2 and res_mode in ("none", "identity", "proj")):
-        # hand-written two-phase Pallas backward (5 HBM passes vs ~12 for
-        # the XLA recompute of the composition)
+            and not has_x2
+            and res_mode in ("none", "identity", "identity_up", "proj")):
+        # hand-written Pallas backward (phase A + fused XLA dx) instead of
+        # the ~12-pass XLA recompute of the composition
         outs = _pallas_gnsc_bwd(
             x, gamma, beta, w, saved_stats[0], saved_stats[1], g,
             num_groups, eps,
             residual=residual if res_mode == "proj" else None,
             skip_w=skip_w if res_mode == "proj" else None,
-            res_mode=res_mode)
+            res_mode="proj" if res_mode == "proj" else "none")
         dx, dgamma, dbeta, dw, dbias = outs[:5]
         dres = jnp.zeros_like(residual)
         dskw, dskb = jnp.zeros_like(skip_w), jnp.zeros_like(skip_b)
         if res_mode == "identity":
             dres = g.astype(residual.dtype)
+        elif res_mode == "identity_up":
+            # cotangent of the in-kernel 2x nearest upsample: each low-res
+            # skip cell receives the sum of its four high-res copies
+            g32 = g.astype(jnp.float32)
+            b_, hh, ww, oo = g32.shape
+            dres = g32.reshape(b_, hh // 2, 2, ww // 2, 2, oo).sum(
+                axis=(2, 4)).astype(residual.dtype)
         elif res_mode == "proj":
             dres = outs[5].astype(residual.dtype)
             dskw = outs[6]

@@ -734,3 +734,64 @@ class TestUpConvKernel:
         out_k = net.apply(params, x, t)
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestIdentityUpBackward:
+    def test_identity_up_grad_parity(self, monkeypatch):
+        """res_up (identity_up) block: Pallas backward (da emission + XLA
+        pooled dres) == autodiff of upsample-then-add reference."""
+        fnc = TestFusedNormConvBackward()._force(monkeypatch)
+        rs = np.random.RandomState(13)
+        x = jnp.asarray(rs.randn(2, 32, 16, 16).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(2, 16).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(2, 16).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, 16, 16).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(16).astype(np.float32))
+        res_low = jnp.asarray(rs.randn(2, 16, 8, 16).astype(np.float32))
+        ct = jnp.asarray(rs.randn(2, 32, 16, 16).astype(np.float32))
+
+        def loss_fused(x, g, b_, w_, bi, r):
+            return jnp.sum(fnc.fused_gn_silu_conv_block(
+                x, g, b_, w_, bi, 4, residual=r, res_up=True) * ct)
+
+        def loss_ref(x, g, b_, w_, bi, r):
+            r_hi = jnp.repeat(jnp.repeat(r, 2, 1), 2, 2)
+            return jnp.sum(fnc.gn_silu_conv_block_reference(
+                x, g, b_, w_, bi, 4, residual=r_hi) * ct)
+
+        nargs = tuple(range(6))
+        g1 = jax.grad(loss_fused, argnums=nargs)(x, gamma, beta, w, bias,
+                                                 res_low)
+        g2 = jax.grad(loss_ref, argnums=nargs)(x, gamma, beta, w, bias,
+                                               res_low)
+        for name, a, b_ in zip(("dx", "dgamma", "dbeta", "dw", "dbias",
+                                "dres"), g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_train_trace_up_block_grads(self, monkeypatch):
+        """An up-sampling UNetBlock traced in "train" mode (fused tail with
+        res_up + backward kernels) == mode "0" (unfused)."""
+        from m_cedm_tpu.models.adm_unet import UNetBlock
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        TestFusedNormConvBackward()._force(monkeypatch)
+        block = UNetBlock(out_channels=32, up=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+        emb = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        params = block.init(jax.random.PRNGKey(2), x, emb)
+
+        def loss(p, mode):
+            with disable_conv_fusion(mode=mode):
+                return jnp.sum(jnp.sin(block.apply(p, x, emb)))
+
+        np.testing.assert_allclose(float(loss(params, "train")),
+                                   float(loss(params, "0")), rtol=1e-4)
+        g1 = jax.grad(lambda p: loss(p, "train"))(params)
+        g2 = jax.grad(lambda p: loss(p, "0"))(params)
+        for (p1, a), (_, b_) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=6e-4, atol=6e-5,
+                err_msg=jax.tree_util.keystr(p1))
