@@ -197,9 +197,17 @@ def _probe_pallas():
         w4 = jnp.ones((3, 3, 64, 64)) * 0.01
         float(jnp.sum(fused_gn_silu_conv(x4, g4, b4, w4, None, 16)))
     except Exception as e:  # pragma: no cover - device-specific
-        os.environ["MCEDM_PALLAS"] = "0"
         import sys
 
+        # the big-row-tile default may be the culprit (VMEM/compile-helper
+        # limits are device-specific): retry at the conservative R=16
+        # before disabling the kernels wholesale
+        if os.environ.get("MCEDM_TILE_R") != "16":
+            print(f"# pallas probe failed ({type(e).__name__}); retrying "
+                  f"with MCEDM_TILE_R=16", file=sys.stderr, flush=True)
+            os.environ["MCEDM_TILE_R"] = "16"
+            return _probe_pallas()
+        os.environ["MCEDM_PALLAS"] = "0"
         print(f"# pallas kernel disabled on this backend: {type(e).__name__}",
               file=sys.stderr, flush=True)
 

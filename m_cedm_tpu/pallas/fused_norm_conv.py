@@ -123,11 +123,13 @@ def _out_stats_reference(out):
 
 
 def _row_tile(h: int, dtype=None) -> int:
-    """Row-tile dividing h. 16 everywhere: R=32 at 128x128 fp32 crashes this
-    backend's Mosaic compile helper (empirically), and R=32 measured no
-    faster in bf16. Per-step VMEM stays tiny. MCEDM_TILE_R overrides for
-    on-device experiments (R == H removes the halo machinery entirely —
-    pair with the raised VMEM cap below)."""
+    """Largest row-tile from (64, 32, 16, 8) dividing h. Round-3 on-device
+    sweep (50-step sampler, B=16 res128 bf16, raised VMEM caps): R=64 is
+    1.041x over the round-2 R=16 (1029.5 vs 1072.1 ms; R=32 1035.5) —
+    fewer grid steps amortize the per-step pad/copy work that is the
+    kernels' measured floor. R=128 (whole image) exceeded even a 48 MB
+    scoped-VMEM cap. Round 2's R=16 choice predated the raised caps.
+    MCEDM_TILE_R overrides for experiments."""
     del dtype
     import os
 
@@ -136,7 +138,7 @@ def _row_tile(h: int, dtype=None) -> int:
         r = int(r_env)
         if 0 < r <= h and h % r == 0:
             return r
-    for r in (16, 8):
+    for r in (64, 32, 16, 8):
         if h % r == 0:
             return r
     return 0
@@ -150,7 +152,7 @@ def _compiler_params(r: int, wdt: int, c: int):
     need = max(r * wdt * c * 4 * 8,  # rough: fp32 strip copies + staging
                32 * 2 ** 20)
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(int(need * 1.5), 110 * 2 ** 20))
+        vmem_limit_bytes=min(int(need * 2), 110 * 2 ** 20))
 
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
