@@ -151,8 +151,10 @@ def _compiler_params(r: int, wdt: int, c: int):
     with whole-image strips need far more."""
     need = max(r * wdt * c * 4 * 8,  # rough: fp32 strip copies + staging
                32 * 2 ** 20)
+    # Mosaic clamps the scoped (stack) limit to a hard 64 MB on this
+    # backend (observed: requesting more still reports "limit 64.00M")
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(int(need * 2), 110 * 2 ** 20))
+        vmem_limit_bytes=min(int(need * 2), 64 * 2 ** 20))
 
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
@@ -779,13 +781,22 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
     b, h, wdt, c = x.shape
     o = w.shape[-1]
     n = h * wdt
+    has_res = res_mode == "proj"
     r = _row_tile(h, x.dtype)
+    # phase A stages x+g+res tiles plus fp32 ds/da/accumulators: measured
+    # stack ~70 MB at fp32 r=64 proj vs Mosaic's hard 64 MB scoped ceiling
+    # — shrink the backward's tile until the estimate fits
+    bytes_per = 4 if x.dtype == jnp.float32 else 2
+    cr = residual.shape[-1] if has_res else 0
+    while (r > 8 and h % (r // 2) == 0
+           and r * wdt * ((c + o + cr) * bytes_per * 6 + (2 * c) * 4 * 4)
+           > 52 * 2 ** 20):
+        r //= 2
     n_tiles = h // r
     gmat = jnp.asarray(_group_matrix(num_groups, c))
     # per-tap transposed weights (9*O, C) in the network dtype
     wt = jnp.transpose(w.astype(x.dtype), (0, 1, 3, 2)).reshape(9 * o, c)
     g_prev, g_next = _halo_rows(g, r)
-    has_res = res_mode == "proj"
 
     def x_spec(ci):
         return pl.BlockSpec((1, r, wdt, ci), lambda i, t: (i, t, 0, 0),
