@@ -46,7 +46,8 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
-MAX_TILE_ROWS = 2048  # 2048 x 64 fp32 = 512 KB per buffer
+MAX_TILE_ROWS = int(os.environ.get("MCEDM_STATS_TILE", "2048"))
+# 2048 x 64 fp32 = 512 KB per buffer; MCEDM_STATS_TILE for on-device sweeps
 
 
 def pallas_enabled() -> bool:
