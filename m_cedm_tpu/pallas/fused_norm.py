@@ -46,8 +46,11 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
-MAX_TILE_ROWS = int(os.environ.get("MCEDM_STATS_TILE", "2048"))
-# 2048 x 64 fp32 = 512 KB per buffer; MCEDM_STATS_TILE for on-device sweeps
+def _max_tile_rows() -> int:
+    """Stats/apply kernel row tile (flattened N axis). 2048 x 64 fp32 =
+    512 KB per buffer; MCEDM_STATS_TILE overrides for on-device sweeps
+    (read per trace so same-process A/Bs can flip it)."""
+    return int(os.environ.get("MCEDM_STATS_TILE", "2048"))
 
 
 def pallas_enabled() -> bool:
@@ -66,7 +69,7 @@ def pallas_enabled() -> bool:
 
 
 def _tile_rows(n: int):
-    tile = min(n, MAX_TILE_ROWS)
+    tile = min(n, _max_tile_rows())
     return tile if n % tile == 0 else None
 
 
