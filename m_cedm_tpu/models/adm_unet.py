@@ -133,8 +133,11 @@ class UNetBlock(nn.Module):
         from m_cedm_tpu.models.layers import (block_fusion_enabled,
                                               conv_fusion_enabled,
                                               stats_chain_enabled,
+                                              train_trace,
                                               upconv_kernel_enabled,
                                               upres_kernel_enabled)
+        from m_cedm_tpu.pallas.fused_block import (fused_unet_block,
+                                                   mega_enabled)
 
         norm0 = GroupNormSiLU(_adm_groups(in_channels), eps=self.eps,
                               name="norm0")
@@ -150,7 +153,13 @@ class UNetBlock(nn.Module):
                      and self.adaptive_scale and self.dropout == 0)
         fuse_block = fuse_tail and not self.up and not self.down
         chain = fuse_block and stats_chain_enabled()
-        if x2 is not None and not chain:
+        # the megakernel covers plain blocks and up blocks (conv0's upsample
+        # rides in-kernel); down blocks keep the two-kernel path (Mosaic
+        # rejects every in-kernel pooling formulation — see the fuse_tail
+        # comment above)
+        mega = (fuse_tail and not self.down and mega_enabled()
+                and not train_trace())
+        if x2 is not None and not chain and not mega:
             # dual input only rides unmaterialized on the fully-fused path
             x = jnp.concatenate([x, x2], axis=-1)
             orig = x
@@ -159,6 +168,40 @@ class UNetBlock(nn.Module):
                        name="conv0")
         fold_probe = (x if x2 is None else
                       jnp.zeros(x.shape[:1] + (1, 1, in_channels), x.dtype))
+        if mega:
+            # megakernel: the WHOLE block (both convs, the skip path, the
+            # residual add) as one Pallas program — conv0's output and the
+            # residual stay resident in VMEM scratch, and a decoder's skip
+            # concat never materializes (pallas/fused_block.py). Sampling
+            # traces only: its backward is XLA recompute, which loses to
+            # the per-conv kernels' hand-written backward.
+            g0f, b0f = norm0(fold_probe, fold_only=True)
+            conv0_w, conv0_b = conv0(x, x2=x2, params_only=True)
+            params = Linear(c * 2, **INIT, name="affine")(emb)
+            scale, shift = jnp.split(params, 2, axis=-1)
+            norm1 = GroupNormSiLU(_adm_groups(c), eps=self.eps, name="norm1")
+            conv1 = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")
+            probe_c = jnp.zeros(x.shape[:1] + (1, 1, c), x.dtype)
+            g1f, b1f = norm1(probe_c, film_scale=scale, film_shift=shift,
+                             fold_only=True)
+            conv1_w, conv1_b = conv1(probe_c, params_only=True)
+            skw = skb = None
+            if c != in_channels:
+                skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
+                    fold_probe, params_only=True)
+            emit = (want_stats and not num_heads and self.skip_scale == 1.0
+                    and stats_chain_enabled())
+            outk = fused_unet_block(
+                x, g0f, b0f, conv0_w, conv0_b, g1f, b1f, conv1_w, conv1_b,
+                _adm_groups(in_channels), _adm_groups(c), self.eps, x2=x2,
+                skip_w=skw, skip_b=skb, stats=in_stats, emit_stats=emit,
+                up=self.up)
+            out_stats = None
+            if emit:
+                outk, os_, oss_ = outk
+                out_stats = (os_, oss_)
+            out = self._attention(outk * self.skip_scale, c, num_heads)
+            return (out, out_stats) if want_stats else out
         h_sums = h_sumsq = None
         if chain:
             g0, b0 = norm0(fold_probe, fold_only=True)
@@ -359,13 +402,19 @@ class AdmUNet(nn.Module):
                                               out_fusion_enabled,
                                               stats_chain_enabled)
 
+        from m_cedm_tpu.models.layers import train_trace
+        from m_cedm_tpu.pallas.fused_block import mega_enabled
+
         use_chain = (conv_fusion_enabled() and block_fusion_enabled()
                      and stats_chain_enabled() and not cfg.remat)
         use_dual = use_chain and dual_input_enabled()
+        # on the megakernel path the skip-concat never materializes — both
+        # halves ride into the block kernel as separate row-tiled streams
+        use_mega = use_chain and mega_enabled() and not train_trace()
 
         def run(blk, x, x2=None, in_stats=None):
             if use_chain:
-                if x2 is not None and not use_dual:
+                if x2 is not None and not use_dual and not use_mega:
                     # materialize the concat (measured faster than the
                     # dual-input kernel) but keep its chained stats
                     x = jnp.concatenate([x, x2], axis=-1)

@@ -28,9 +28,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def distributed_init():
     """Initialize multi-host JAX if a coordinator is configured (no-op on a
-    single host). Mirrors DDP process-group setup."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    single host). Mirrors DDP process-group setup (reference
+    configs/trainer/trainer_ddim.yaml:8 `strategy: 'ddp'`).
+
+    On TPU pods the runtime autodetects everything, so a bare
+    JAX_COORDINATOR_ADDRESS suffices; when JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    are also set (manual launches, the CPU gloo dryrun —
+    tools/dryrun_2proc.py) they are passed explicitly."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize(coordinator_address=addr)
 
 
 def make_mesh(axes: Sequence[str] = ("data",),

@@ -795,3 +795,179 @@ class TestIdentityUpBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=6e-4, atol=6e-5,
                 err_msg=jax.tree_util.keystr(p1))
+
+
+class TestMegaBlock:
+    """Whole-UNetBlock megakernel (pallas/fused_block.py): interpret-mode
+    parity vs the two-stage reference composition, whole-net toggle
+    equality, and gradients through the recompute fallback."""
+
+    def _force_interpret(self):
+        from jax.experimental import pallas as pl
+        import m_cedm_tpu.pallas.fused_norm as fn
+
+        orig_call = pl.pallas_call
+        orig_enabled = fn.pallas_enabled
+        fn.pallas_enabled = lambda: True
+        pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k,
+                                                          "interpret": True})
+        fn.pl.pallas_call = pl.pallas_call
+        import m_cedm_tpu.pallas.fused_block as fb
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+        fnc.pl.pallas_call = pl.pallas_call
+        fb.pl.pallas_call = pl.pallas_call
+
+        def restore():
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+            fnc.pl.pallas_call = orig_call
+            fb.pl.pallas_call = orig_call
+            fn.pallas_enabled = orig_enabled
+
+        return restore
+
+    def test_mega_identity_interpret_matches_reference(self):
+        pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_block as fb
+
+        rs = np.random.RandomState(5)
+        B_, H, W_, C_ = 2, 32, 16, 16
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32))
+        g0 = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        b0 = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w0 = jnp.asarray(0.1 * rs.randn(3, 3, C_, C_).astype(np.float32))
+        bias0 = jnp.asarray(0.1 * rs.randn(C_).astype(np.float32))
+        g1 = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        b1 = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w1 = jnp.asarray(0.1 * rs.randn(3, 3, C_, C_).astype(np.float32))
+        bias1 = jnp.asarray(0.1 * rs.randn(C_).astype(np.float32))
+        restore = self._force_interpret()
+        try:
+            out = fb._pallas_mega(x, g0, b0, w0, bias0, g1, b1, w1, bias1,
+                                  4, 4, 1e-5)
+        finally:
+            restore()
+        ref = fb.fused_unet_block_reference(x, g0, b0, w0, bias0, g1, b1,
+                                            w1, bias1, 4, 4, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_mega_dual_proj_emit_interpret_matches_reference(self):
+        """Dual input (unmaterialized concat) + 1x1-projection skip +
+        chained input stats + emitted output stats."""
+        pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_block as fb
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        rs = np.random.RandomState(6)
+        B_, H, W_, C1, C2, O = 2, 32, 16, 16, 8, 24
+        C_ = C1 + C2
+        x1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        x2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        g0 = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        b0 = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w0 = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias0 = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        g1 = jnp.asarray(1 + 0.1 * rs.randn(B_, O).astype(np.float32))
+        b1 = jnp.asarray(0.1 * rs.randn(B_, O).astype(np.float32))
+        w1 = jnp.asarray(0.1 * rs.randn(3, 3, O, O).astype(np.float32))
+        bias1 = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(C_, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        cat = jnp.concatenate([x1, x2], -1).reshape(B_, H * W_, C_)
+        stats = (jnp.sum(cat, 1), jnp.sum(cat * cat, 1))
+        restore = self._force_interpret()
+        try:
+            out, osums, osumsq = fb._pallas_mega(
+                x1, g0, b0, w0, bias0, g1, b1, w1, bias1, 4, 4, 1e-5,
+                x2=x2, skip_w=skw, skip_b=skb, stats=stats, emit_stats=True)
+        finally:
+            restore()
+        ref, rsums, rsumsq = fb.fused_unet_block_reference(
+            x1, g0, b0, w0, bias0, g1, b1, w1, bias1, 4, 4, 1e-5,
+            x2=x2, skip_w=skw, skip_b=skb, emit_stats=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(osumsq), np.asarray(rsumsq),
+                                   rtol=2e-4, atol=5e-3)
+
+    def test_admunet_mega_toggle_same_outputs(self, monkeypatch):
+        """Full AdmUNet: MCEDM_MEGA=1 == fusion-off on CPU (pins the module
+        plumbing: params_only/fold_only wiring, skip-concat bypass, emitted
+        stats threading) and param structure is unchanged."""
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+        from m_cedm_tpu.models.layers import disable_conv_fusion
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=32,
+                            ch_mult=(1, 1), num_res_blocks=1,
+                            attn_resolutions=(16,), resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([1.5, 0.3])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        monkeypatch.setenv("MCEDM_MEGA", "1")
+        out_mega = net.apply(params, x, t)
+        params_mega = net.init(jax.random.PRNGKey(1), x, t)
+        with disable_conv_fusion(mode="0"):
+            out_off = net.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(out_mega), np.asarray(out_off),
+                                   rtol=1e-4, atol=1e-5)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_mega))
+        # gradients flow through the recompute-fallback custom VJP
+        g_mega = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(
+            params)
+
+        def loss_off(p):
+            with disable_conv_fusion(mode="0"):
+                return jnp.sum(jnp.sin(net.apply(p, x, t)))
+
+        g_off = jax.grad(loss_off)(params)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_mega),
+                         jax.tree_util.tree_leaves(g_off)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_mega_up_interpret_matches_reference(self):
+        """Up-block megakernel: norm at low res, row-upsample in VMEM,
+        conv at high res, tail + upsampled residual — vs the reference
+        upsample composition (identity and proj skips)."""
+        pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_block as fb
+
+        rs = np.random.RandomState(9)
+        B_, H, W_, C_, O = 2, 16, 8, 16, 16
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32))
+        g0 = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        b0 = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w0 = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias0 = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        g1 = jnp.asarray(1 + 0.1 * rs.randn(B_, O).astype(np.float32))
+        b1 = jnp.asarray(0.1 * rs.randn(B_, O).astype(np.float32))
+        w1 = jnp.asarray(0.1 * rs.randn(3, 3, O, O).astype(np.float32))
+        bias1 = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(C_, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        restore = self._force_interpret()
+        try:
+            out = fb._pallas_mega(x, g0, b0, w0, bias0, g1, b1, w1, bias1,
+                                  4, 4, 1e-5, up=True)
+            out_p, osums, _ = fb._pallas_mega(
+                x, g0, b0, w0, bias0, g1, b1, w1, bias1, 4, 4, 1e-5,
+                up=True, skip_w=skw, skip_b=skb, emit_stats=True)
+        finally:
+            restore()
+        ref = fb.fused_unet_block_reference(x, g0, b0, w0, bias0, g1, b1,
+                                            w1, bias1, 4, 4, 1e-5, up=True)
+        ref_p, rsums, _ = fb.fused_unet_block_reference(
+            x, g0, b0, w0, bias0, g1, b1, w1, bias1, 4, 4, 1e-5,
+            up=True, skip_w=skw, skip_b=skb, emit_stats=True)
+        assert out.shape == (B_, 2 * H, 2 * W_, O)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=5e-3)
