@@ -119,23 +119,35 @@ def _pallas_bwd(q, k, v, g):
     )(q, k, v, g)
 
 
+def _use_kernel(q) -> bool:
+    """The whole-head kernel stages the (L, L) fp32 logits/probs in scoped
+    VMEM (~3 L^2 fp32): 12 MB at the flagship L=1024, but 200+ MB at the
+    L=4096 a res-256 eval produces (measured Mosaic failure) — Mosaic's
+    stack is hard-capped at 64 MB, so large grids fall back to the
+    identical-math XLA path (batched MXU matmuls, no VMEM residency)."""
+    l = q.shape[1]
+    # 5 L^2: the backward additionally stages dw (L, L); use its bound for
+    # both directions so fwd/bwd take the same path
+    return pallas_enabled() and 5 * l * l * 4 <= 60 * 2 ** 20
+
+
 @jax.custom_vjp
 def fused_attention(q, k, v):
     """Fused fp32 attention; Pallas on TPU, jnp reference elsewhere."""
-    if not pallas_enabled():
+    if not _use_kernel(q):
         return attention_reference(q, k, v)
     return _pallas_fwd(q, k, v)
 
 
 def _fa_fwd(q, k, v):
-    if not pallas_enabled():
+    if not _use_kernel(q):
         return attention_reference(q, k, v), (q, k, v)
     return _pallas_fwd(q, k, v), (q, k, v)
 
 
 def _fa_bwd(residuals, g):
     q, k, v = residuals
-    if not pallas_enabled():  # trace-time decision, same as forward
+    if not _use_kernel(q):  # trace-time decision, same as forward
         _, vjp = jax.vjp(attention_reference, q, k, v)
         return vjp(g)
     return _pallas_bwd(q, k, v, g)

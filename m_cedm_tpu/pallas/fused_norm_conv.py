@@ -122,15 +122,24 @@ def _out_stats_reference(out):
     return jnp.sum(o32, axis=(1, 2)), jnp.sum(o32 * o32, axis=(1, 2))
 
 
-def _row_tile(h: int, dtype=None) -> int:
+def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None) -> int:
     """Largest row-tile from (64, 32, 16, 8) dividing h. Round-3 on-device
     sweep (50-step sampler, B=16 res128 bf16, raised VMEM caps): R=64 is
     1.041x over the round-2 R=16 (1029.5 vs 1072.1 ms; R=32 1035.5) —
     fewer grid steps amortize the per-step pad/copy work that is the
     kernels' measured floor. R=128 (whole image) exceeded even a 48 MB
     scoped-VMEM cap. Round 2's R=16 choice predated the raised caps.
-    MCEDM_TILE_R overrides for experiments."""
-    del dtype
+    MCEDM_TILE_R overrides for experiments (verbatim, no footprint cap).
+
+    When the caller passes wdt the tile additionally shrinks until the
+    estimated Mosaic stack fits the hard 64 MB scoped-VMEM ceiling, so
+    larger-than-flagship shapes (res-256 eval) auto-drop to R=32/16 instead
+    of failing to compile. The estimate is calibrated on two on-device
+    anchors: the fp32 forward FAILS at ~79.91 MB for R=64/W=258/C=64 while
+    R=64/W=130/C=128 (flagship fp32 decoder tail, bench-train) compiles —
+    the stack is ~linear in R*(W+2)*bytes and sublinear in C, so C is left
+    out of the formula (K = 79.91e6 / (64*258*4) ~= 1210 bytes/strip-col)."""
+    del c
     import os
 
     r_env = os.environ.get("MCEDM_TILE_R")
@@ -138,10 +147,17 @@ def _row_tile(h: int, dtype=None) -> int:
         r = int(r_env)
         if 0 < r <= h and h % r == 0:
             return r
-    for r in (64, 32, 16, 8):
-        if h % r == 0:
-            return r
-    return 0
+    r = 0
+    for cand in (64, 32, 16, 8):
+        if h % cand == 0:
+            r = cand
+            break
+    if r and wdt is not None:
+        bytes_per = 2 if dtype == jnp.bfloat16 else 4
+        while (r > 8 and h % (r // 2) == 0
+               and r * (wdt + 2) * bytes_per * 1210 > 60 * 2 ** 20):
+            r //= 2
+    return r
 
 
 def _compiler_params(r: int, wdt: int, c: int):
@@ -349,7 +365,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     c = c1 + (x2.shape[-1] if x2 is not None else 0)
     o = w.shape[-1]
     n = h * wdt
-    r = _row_tile(h, x.dtype)
+    r = _row_tile(h, x.dtype, wdt=wdt, c=max(c, o))
     n_tiles = h // r
     if stats is not None:
         # chained from the producing kernel's emit_stats — no stats pass
@@ -538,7 +554,8 @@ def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
     b, h, wdt, c = x.shape
     o = w.shape[-1]
     n = h * wdt
-    r = _row_tile(h, x.dtype)
+    # the up kernel's strips are width-doubled (W pre-upsampled in XLA)
+    r = _row_tile(h, x.dtype, wdt=2 * wdt, c=max(c, o))
     n_tiles = h // r
     if stats is not None:
         sums, sumsq = stats
