@@ -211,8 +211,54 @@ def _compute_stats(x, tile):
     )(x)
 
 
+def _pair_tile(n: int):
+    """Paired-lane gate for the flattened (B, N, C) kernels: bitcast
+    (N, C) -> (N/2, 2C) fills all 128 lanes at C=64 (same trick as
+    fused_norm_conv's paired conv kernels; the bitcast is free in XLA).
+    Returns the paired row tile or None when pairing is off/unavailable."""
+    from m_cedm_tpu.pallas.fused_norm_conv import pair_enabled
+
+    if not pair_enabled() or n % 2:
+        return None
+    return _tile_rows(n // 2)
+
+
+def _pair_stats(x, tile2):
+    """Full-lane stats pass through the paired layout, folded to (B, C)."""
+    b, n, c = x.shape
+    sp, ssp = _compute_stats(x.reshape(b, n // 2, 2 * c), tile2)
+    return sp[:, :c] + sp[:, c:], ssp[:, :c] + ssp[:, c:]
+
+
+def _pair_dup(v):
+    return jnp.concatenate([v, v], axis=-1)
+
+
+def _pair_gmat2(num_groups, c):
+    g = _group_matrix(num_groups, c)
+    out = np.zeros((2 * c, 2 * c), np.float32)
+    out[:c, :c] = g
+    out[c:, c:] = g
+    return jnp.asarray(out)
+
+
 def _pallas_forward(x, gamma, beta, num_groups, eps, tile, stats=None):
     b, n, c = x.shape
+    tile2 = _pair_tile(n)
+    if tile2 is not None:
+        sums, sumsq = (stats if stats is not None else _pair_stats(x, tile2))
+        xp = x.reshape(b, n // 2, 2 * c)
+        x_spec, vec_spec, mat_spec = _specs(b, n // 2, 2 * c, tile2)
+        out = pl.pallas_call(
+            functools.partial(_apply_kernel, n=n, eps=eps),
+            grid=(b, (n // 2) // tile2),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        )(xp, _pair_dup(gamma), _pair_dup(beta), _pair_dup(sums),
+          _pair_dup(sumsq), _pair_gmat2(num_groups, c))
+        return out.reshape(x.shape), sums, sumsq
     gmat = jnp.asarray(_group_matrix(num_groups, c))
     sums, sumsq = stats if stats is not None else _compute_stats(x, tile)
     x_spec, vec_spec, mat_spec = _specs(b, n, c, tile)
@@ -228,6 +274,37 @@ def _pallas_forward(x, gamma, beta, num_groups, eps, tile, stats=None):
 
 def _pallas_backward(x, gamma, beta, sums, sumsq, g, num_groups, eps, tile):
     b, n, c = x.shape
+    tile2 = _pair_tile(n)
+    if tile2 is not None:
+        # paired-lane backward: per-parity dgamma/dbeta/s1/s2 fold to full
+        # channels between the two calls (the grad-apply group reductions
+        # need FULL-channel sums), then ride back in duplicated
+        xp = x.reshape(b, n // 2, 2 * c)
+        gp = g.reshape(b, n // 2, 2 * c)
+        gmat2 = _pair_gmat2(num_groups, c)
+        x_spec, vec_spec, mat_spec = _specs(b, n // 2, 2 * c, tile2)
+        dgamma2, dbeta2, s1_2, s2_2 = pl.pallas_call(
+            functools.partial(_grad_stats_kernel, n=n, eps=eps),
+            grid=(b, (n // 2) // tile2),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec, x_spec],
+            out_specs=[vec_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((b, 2 * c), jnp.float32)] * 4,
+        )(xp, _pair_dup(gamma), _pair_dup(beta), _pair_dup(sums),
+          _pair_dup(sumsq), gmat2, gp)
+        s1 = s1_2[:, :c] + s1_2[:, c:]
+        s2 = s2_2[:, :c] + s2_2[:, c:]
+        dx = pl.pallas_call(
+            functools.partial(_grad_apply_kernel, n=n, eps=eps),
+            grid=(b, (n // 2) // tile2),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec, x_spec, vec_spec, vec_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        )(xp, _pair_dup(gamma), _pair_dup(beta), _pair_dup(sums),
+          _pair_dup(sumsq), gmat2, gp, _pair_dup(s1), _pair_dup(s2))
+        return (dx.reshape(x.shape), dgamma2[:, :c] + dgamma2[:, c:],
+                dbeta2[:, :c] + dbeta2[:, c:])
     gmat = jnp.asarray(_group_matrix(num_groups, c))
     x_spec, vec_spec, mat_spec = _specs(b, n, c, tile)
     dgamma, dbeta, s1, s2 = pl.pallas_call(

@@ -357,29 +357,38 @@ def _halo_rows(x, r):
 def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                  x2=None, residual=None, residual2=None,
                  skip_w=None, skip_b=None, res_mode="none",
-                 emit_stats=False, stats=None):
+                 emit_stats=False, stats=None,
+                 gmat_arr=None, n_full=None, res_pre_up=False):
     """x2: second half of an unmaterialized channel concat — gamma/beta/
     stats/w are for the combined (C1+C2) input. residual2: second half of an
-    unmaterialized concat residual (res_mode='proj2')."""
+    unmaterialized concat residual (res_mode='proj2').
+
+    gmat_arr/n_full/res_pre_up: paired-lane plumbing (_pallas_gnsc_paired) —
+    a caller-supplied group-combine matrix (block-diag of the unpaired one),
+    the TRUE per-channel pixel count (h*wdt undercounts by 2x in the paired
+    layout), and 'identity_up residual already width-matched' (the paired
+    layout's channel-concat replaces the XLA W-repeat)."""
     b, h, wdt, c1 = x.shape
     c = c1 + (x2.shape[-1] if x2 is not None else 0)
     o = w.shape[-1]
-    n = h * wdt
+    n = n_full if n_full is not None else h * wdt
     r = _row_tile(h, x.dtype, wdt=wdt, c=max(c, o))
     n_tiles = h // r
+    npix = h * wdt
     if stats is not None:
         # chained from the producing kernel's emit_stats — no stats pass
         sums, sumsq = stats
     else:
-        tile = _tile_rows(n)  # guaranteed by _use_pallas
+        tile = _tile_rows(npix)  # guaranteed by _use_pallas
         if x2 is None:
-            sums, sumsq = _compute_stats(x.reshape(b, n, c), tile)
+            sums, sumsq = _compute_stats(x.reshape(b, npix, c), tile)
         else:
-            s1, ss1 = _compute_stats(x.reshape(b, n, c1), tile)
-            s2, ss2 = _compute_stats(x2.reshape(b, n, c - c1), tile)
+            s1, ss1 = _compute_stats(x.reshape(b, npix, c1), tile)
+            s2, ss2 = _compute_stats(x2.reshape(b, npix, c - c1), tile)
             sums = jnp.concatenate([s1, s2], axis=-1)
             sumsq = jnp.concatenate([ss1, ss2], axis=-1)
-    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    gmat = (gmat_arr if gmat_arr is not None
+            else jnp.asarray(_group_matrix(num_groups, c)))
     # weights in the network dtype — the kernel's matmuls run at native MXU
     # rate for bf16 (fp32 nets keep fp32 weights and fp32 dots)
     w2 = w.astype(x.dtype).reshape(9 * c, o)  # (dr, dw, C, O) row-major
@@ -422,11 +431,13 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                  bias_spec]
     inputs += [gamma, beta, sums, sumsq, gmat, w2, bias2]
     if res_mode == "identity_up":
-        # width pre-repeated in XLA (half-res cost); rows repeat in-kernel
+        # width pre-repeated in XLA (half-res cost); rows repeat in-kernel.
+        # In the paired layout the caller's channel-concat IS the W repeat.
         in_specs.append(pl.BlockSpec(
             (1, r // 2, wdt, residual.shape[-1]),
             lambda i, t: (i, t, 0, 0), memory_space=pltpu.VMEM))
-        inputs.append(jnp.repeat(residual, 2, axis=2))
+        inputs.append(residual if res_pre_up
+                      else jnp.repeat(residual, 2, axis=2))
     elif res_mode != "none":
         in_specs.append(x_spec(residual.shape[-1]))
         inputs.append(residual)
@@ -463,6 +474,142 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
         out_shape=out_shape,
         **({"compiler_params": cp} if cp else {}),
     )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# Paired-lane layout: bitcast (W, C) -> (W/2, 2C)
+# ---------------------------------------------------------------------------
+#
+# The flagship's C=64 channels fill only HALF of the TPU's 128-lane vector
+# registers, so every VPU op and in-VMEM copy in the kernels runs at 50%
+# lane efficiency and the 9 tap matmuls run K=64/N=64 (<=25% MXU tiles) —
+# exactly the "per-step VPU work + in-VMEM copies" floor the round-3 profile
+# identified. Pairing two adjacent W pixels into the channel axis is FREE in
+# XLA ((W, C) row-major == (W/2, 2C) row-major, a pure bitcast) and turns
+# the same kernel into full-lane VPU work with K=128/N=128 matmuls. The conv
+# becomes a 3-tap stencil over pixel PAIRS with a block-structured
+# (3, 3, 2C, 2O) weight matrix (half structurally zero — 2x padded FLOPs at
+# 4x better MXU tiling). GroupNorm statistics stay per ORIGINAL channel:
+# the paired stats fold their two parity halves and ride in duplicated, with
+# a block-diagonal group-combine matrix.
+
+
+def pair_enabled() -> bool:
+    """MCEDM_PAIR gates the paired-lane layout (default off until the
+    on-device A/B lands; MCEDM_PAIR=1 enables)."""
+    import os
+
+    return os.environ.get("MCEDM_PAIR", "0") == "1"
+
+
+def _use_pair(x, has_x2: bool, res_mode: str) -> bool:
+    if not pair_enabled() or has_x2 or res_mode == "proj2":
+        return False
+    # paired width must still satisfy the kernels' lane-dim constraints
+    return x.shape[2] % 16 == 0 and (x.shape[2] // 2) >= 8
+
+
+def _pair_vec(v):
+    """(B, C) -> (B, 2C): per-channel vectors duplicated for both parities."""
+    return jnp.concatenate([v, v], axis=-1)
+
+
+def _pair_weights(w):
+    """(3, 3, C, O) -> (3, 3, 2C, 2O) paired-lane conv weights.
+
+    Output pair channel q*O+o at pair j contracts input pair channel p*C+c
+    of pair j+dj-1 with w[dr, dw, c, o] where dw = 2*(dj-1) + p - q + 1;
+    entries whose dw falls outside the 3-tap stencil are zero (half the
+    paired matrix — the 2x FLOP padding buys full-K/N MXU tiles)."""
+    c, o = w.shape[2], w.shape[3]
+    z = jnp.zeros((c, o), w.dtype)
+    rows = []
+    for dr in range(3):
+        cols = []
+        for dj in range(3):
+            blocks = []
+            for p in range(2):
+                qcols = []
+                for q in range(2):
+                    dw = 2 * (dj - 1) + p - q + 1
+                    qcols.append(w[dr, dw] if 0 <= dw < 3 else z)
+                blocks.append(jnp.concatenate(qcols, axis=-1))
+            cols.append(jnp.concatenate(blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _pair_skip(skw):
+    """(Cr, O) -> (2Cr, 2O) block-diagonal 1x1-projection weights (parity
+    is preserved by a 1x1 conv)."""
+    z = jnp.zeros_like(skw)
+    return jnp.concatenate([jnp.concatenate([skw, z], axis=-1),
+                            jnp.concatenate([z, skw], axis=-1)], axis=0)
+
+
+def _pair_gmat(num_groups: int, c: int) -> np.ndarray:
+    """Block-diagonal group-combine for duplicated per-channel sums."""
+    g = _group_matrix(num_groups, c)
+    out = np.zeros((2 * c, 2 * c), np.float32)
+    out[:c, :c] = g
+    out[c:, c:] = g
+    return out
+
+
+def _paired_stats(x):
+    """Per-ORIGINAL-channel (sums, sumsq) computed through the paired layout
+    (full-lane stats pass), folded back to (B, C). Falls back to the
+    unpaired pass when the paired row count does not tile."""
+    b, h, wdt, c = x.shape
+    tile = _tile_rows(h * wdt // 2)
+    if tile is not None:
+        xp = x.reshape(b, h * wdt // 2, 2 * c)
+        sp, ssp = _compute_stats(xp, tile)
+        return sp[:, :c] + sp[:, c:], ssp[:, :c] + ssp[:, c:]
+    return _compute_stats(x.reshape(b, h * wdt, c), _tile_rows(h * wdt))
+
+
+def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
+                        residual=None, skip_w=None, skip_b=None,
+                        res_mode="none", emit_stats=False, stats=None):
+    """The paired-lane front end of _pallas_gnsc: bitcast inputs/outputs,
+    paired weights/vectors, block-diag group matrix. `stats` are UNPAIRED
+    (B, C) channel statistics (chained or precomputed); emitted stats fold
+    back to (B, O)."""
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    w2 = wdt // 2
+    xp = x.reshape(b, h, w2, 2 * c)
+    if stats is None:
+        stats = _paired_stats(x)
+    kw = {}
+    res_p = None
+    if res_mode == "identity":
+        res_p = residual.reshape(b, h, w2, 2 * o)
+    elif res_mode == "identity_up":
+        # half-res skip: channel-concat IS the paired W-repeat (out pixel
+        # 2j+q reads res[.., j, :] for both q) — no XLA repeat at all
+        res_p = jnp.concatenate([residual, residual], axis=-1)
+        kw["res_pre_up"] = True
+    elif res_mode == "proj":
+        res_p = residual.reshape(b, h, w2, 2 * residual.shape[-1])
+    out = _pallas_gnsc(
+        xp, _pair_vec(gamma), _pair_vec(beta), _pair_weights(w),
+        (jnp.concatenate([bias, bias]) if bias is not None else None),
+        num_groups, eps,
+        residual=res_p,
+        skip_w=_pair_skip(skip_w) if skip_w is not None else None,
+        skip_b=(jnp.concatenate([skip_b, skip_b])
+                if skip_b is not None else None),
+        res_mode=res_mode, emit_stats=emit_stats,
+        stats=(_pair_vec(stats[0]), _pair_vec(stats[1])),
+        gmat_arr=jnp.asarray(_pair_gmat(num_groups, c)),
+        n_full=h * wdt, **kw)
+    if emit_stats:
+        outp, osums, osumsq = out
+        return [outp.reshape(b, h, wdt, o),
+                osums[:, :o] + osums[:, o:], osumsq[:, :o] + osumsq[:, o:]]
+    return out.reshape(b, h, wdt, o)
 
 
 # ---------------------------------------------------------------------------
@@ -789,15 +936,81 @@ def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
     da_ref[0] = da.reshape(r, wdt, c).astype(da_ref.dtype)
 
 
-def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
-                     residual=None, skip_w=None, res_mode="none"):
-    """Two-phase Pallas backward. Returns (dx, dgamma, dbeta, dw, dbias
-    [, dres, dskip_w, dskip_b]). res_mode: "none" | "identity" | "proj".
-    For "identity" the residual cotangent is g itself (returned by the
-    caller without touching this function)."""
+def _pallas_gnsc_bwd_paired(x, gamma, beta, w, sums, sumsq, g, num_groups,
+                            eps, residual=None, skip_w=None, res_mode="none"):
+    """Paired-lane front end of _pallas_gnsc_bwd: bitcast x/g/residual,
+    paired weights and statistics, then fold the gradients back —
+    dw[dr,dw] sums the two (dj,p,q) slots of the paired tap matrix that
+    carry it; dgamma/dbeta/dbias fold their parity halves; dskip_w sums the
+    diagonal blocks (the off-diagonal blocks are structural zeros of the
+    pairing, so their cotangents drop). da/dx stay elementwise-per-channel,
+    so the phase-A da emission bitcasts straight back."""
     b, h, wdt, c = x.shape
     o = w.shape[-1]
+    w2 = wdt // 2
     n = h * wdt
+    has_res = res_mode == "proj"
+    outs = _bwd_phase_a(
+        x.reshape(b, h, w2, 2 * c), _pair_vec(gamma), _pair_vec(beta),
+        _pair_weights(w), _pair_vec(sums), _pair_vec(sumsq),
+        g.reshape(b, h, w2, 2 * o), num_groups, eps,
+        residual=(residual.reshape(b, h, w2, 2 * residual.shape[-1])
+                  if has_res else None),
+        res_mode=res_mode,
+        gmat_arr=jnp.asarray(_pair_gmat(num_groups, c)), n_full=n)
+    dw_p9, db2, dgamma2, dbeta2, da_p = outs[:5]
+    dgamma = dgamma2[:, :c] + dgamma2[:, c:]
+    dbeta = dbeta2[:, :c] + dbeta2[:, c:]
+    db2 = db2.reshape(2 * o)
+    dbias = db2[:o] + db2[o:]
+    # dx from the UNPAIRED quantities — the group reduction terms need
+    # full-channel dgamma/dbeta, so fold before the elementwise pass
+    da = da_p.reshape(b, h, wdt, c)
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    dx = _dx_from_da(x, da, gamma, dgamma, dbeta, sums, sumsq, gmat, n, eps)
+    # fold the paired tap gradients: dw[dr, dw] = sum of the two (dj, p, q)
+    # slots with 2*(dj-1)+p-q+1 == dw (see _pair_weights)
+    dw_p = dw_p9.reshape(3, 3, 2, c, 2, o)  # (dr, dj, p, c, q, o)
+    slots = {0: [(0, 1, 0), (1, 0, 1)],
+             1: [(1, 0, 0), (1, 1, 1)],
+             2: [(1, 1, 0), (2, 0, 1)]}
+    dw = jnp.stack([
+        jnp.stack([sum(dw_p[dr, dj, p, :, q, :] for dj, p, q in slots[dwi])
+                   for dwi in range(3)])
+        for dr in range(3)]).astype(w.dtype)
+    if has_res:
+        dres = jnp.einsum("bhwo,ro->bhwr", g.astype(x.dtype),
+                          skip_w.astype(x.dtype))
+        dskw2 = outs[5].reshape(2, residual.shape[-1], 2, o)
+        dskw = (dskw2[0, :, 0, :] + dskw2[1, :, 1, :]).astype(skip_w.dtype)
+        return dx, dgamma, dbeta, dw, dbias, dres, dskw, dbias
+    return dx, dgamma, dbeta, dw, dbias
+
+
+def _dx_from_da(x, da, gamma, dgamma, dbeta, sums, sumsq, gmat, n, eps):
+    """dx in ONE fused XLA elementwise pass: the GroupNorm reduction terms
+    come from phase A's channel sums via the identities in the header.
+    All arguments UNPAIRED (full-channel statistics)."""
+    mean, rstd = _mean_rstd(sums, sumsq, gmat, n, eps)
+    m1 = _gc(gamma * dbeta / n, gmat)
+    m2 = _gc(gamma * dgamma / n, gmat)
+    a_c = (rstd * gamma)[:, None, None, :]
+    b_c = (rstd * rstd * m2)[:, None, None, :]
+    c_c = (rstd * m1)[:, None, None, :]
+    mean_c = mean[:, None, None, :]
+    return (da.astype(jnp.float32) * a_c
+            - (x.astype(jnp.float32) - mean_c) * b_c - c_c).astype(x.dtype)
+
+
+def _bwd_phase_a(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
+                 residual=None, res_mode="none",
+                 gmat_arr=None, n_full=None):
+    """Phase-A pallas_call: returns (dw9, db, dgamma, dbeta, da [, dskw]).
+    gmat_arr/n_full: paired-lane plumbing (block-diag group matrix and the
+    true per-channel pixel count)."""
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    n = n_full if n_full is not None else h * wdt
     has_res = res_mode == "proj"
     r = _row_tile(h, x.dtype)
     # phase A stages x+g+res tiles plus fp32 ds/da/accumulators: measured
@@ -810,7 +1023,8 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
            > 52 * 2 ** 20):
         r //= 2
     n_tiles = h // r
-    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    gmat = (gmat_arr if gmat_arr is not None
+            else jnp.asarray(_group_matrix(num_groups, c)))
     # per-tap transposed weights (9*O, C) in the network dtype
     wt = jnp.transpose(w.astype(x.dtype), (0, 1, 3, 2)).reshape(9 * o, c)
     g_prev, g_next = _halo_rows(g, r)
@@ -849,7 +1063,7 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         out_specs.append(const_spec(cr, o))
         out_shape.append(jax.ShapeDtypeStruct((cr, o), jnp.float32))
     cp = _compiler_params(r, wdt, c + o)
-    dw9, db, dgamma, dbeta, da, *rest_a = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
                           has_res=has_res),
         grid=(b, n_tiles),
@@ -859,23 +1073,28 @@ def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         **({"compiler_params": cp} if cp else {}),
     )(*inputs)
 
-    # dx in ONE fused XLA elementwise pass: the GroupNorm reduction terms
-    # come from phase A's channel sums via the identities in the header
-    mean, rstd = _mean_rstd(sums, sumsq, gmat, n, eps)
-    m1 = _gc(gamma * dbeta / n, gmat)
-    m2 = _gc(gamma * dgamma / n, gmat)
-    a_c = (rstd * gamma)[:, None, None, :]
-    b_c = (rstd * rstd * m2)[:, None, None, :]
-    c_c = (rstd * m1)[:, None, None, :]
-    mean_c = mean[:, None, None, :]
-    dx = (da.astype(jnp.float32) * a_c
-          - (x.astype(jnp.float32) - mean_c) * b_c - c_c).astype(x.dtype)
+
+def _pallas_gnsc_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
+                     residual=None, skip_w=None, res_mode="none"):
+    """Two-phase Pallas backward. Returns (dx, dgamma, dbeta, dw, dbias
+    [, dres, dskip_w, dskip_b]). res_mode: "none" | "identity" | "proj".
+    For "identity" the residual cotangent is g itself (returned by the
+    caller without touching this function)."""
+    b, h, wdt, c = x.shape
+    o = w.shape[-1]
+    n = h * wdt
+    has_res = res_mode == "proj"
+    outs = _bwd_phase_a(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
+                        residual=residual, res_mode=res_mode)
+    dw9, db, dgamma, dbeta, da = outs[:5]
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    dx = _dx_from_da(x, da, gamma, dgamma, dbeta, sums, sumsq, gmat, n, eps)
     dw = dw9.reshape(3, 3, c, o).astype(w.dtype)
     if has_res:
         # the 1x1 skip's input cotangent — a single XLA matmul
         dres = jnp.einsum("bhwo,ro->bhwr", g.astype(x.dtype),
                           skip_w.astype(x.dtype))
-        dskw = rest_a[0].astype(skip_w.dtype)
+        dskw = outs[5].astype(skip_w.dtype)
         return dx, dgamma, dbeta, dw, db.reshape(o), dres, dskw, db.reshape(o)
     return dx, dgamma, dbeta, dw, db.reshape(o)
 
@@ -901,6 +1120,8 @@ def fused_gn_silu_conv(x, gamma, beta, w, bias, num_groups: int,
     """
     if not _use_pallas(x):
         return gn_silu_conv_reference(x, gamma, beta, w, bias, num_groups, eps)
+    if _use_pair(x, False, "none"):
+        return _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps)
     return _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps)
 
 
@@ -1000,22 +1221,35 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
                has_x2):
     saved_stats = None
     if _use_pallas(x):
+        pair = _use_pair(x, has_x2, res_mode)
         stats = (sums_in, sumsq_in) if has_stats else None
         if stats is None and not has_x2:
             # precompute (and save) the channel statistics so a hand-written
             # backward can reuse them without another pass over x
-            b_, h_, w_, c_ = x.shape
-            stats = _compute_stats(x.reshape(b_, h_ * w_, c_),
-                                   _tile_rows(h_ * w_))
-        out = _pallas_gnsc(
-            x, gamma, beta, w, bias if has_bias else None, num_groups, eps,
-            x2=x2 if has_x2 else None,
-            residual=residual if res_mode != "none" else None,
-            residual2=residual2 if res_mode == "proj2" else None,
-            skip_w=skip_w if res_mode in ("proj", "proj2") else None,
-            skip_b=(skip_b if (res_mode in ("proj", "proj2") and has_skip_b)
-                    else None),
-            res_mode=res_mode, emit_stats=emit_stats, stats=stats)
+            if pair:
+                stats = _paired_stats(x)
+            else:
+                b_, h_, w_, c_ = x.shape
+                stats = _compute_stats(x.reshape(b_, h_ * w_, c_),
+                                       _tile_rows(h_ * w_))
+        if pair:
+            out = _pallas_gnsc_paired(
+                x, gamma, beta, w, bias if has_bias else None, num_groups,
+                eps, residual=residual if res_mode != "none" else None,
+                skip_w=skip_w if res_mode == "proj" else None,
+                skip_b=(skip_b if (res_mode == "proj" and has_skip_b)
+                        else None),
+                res_mode=res_mode, emit_stats=emit_stats, stats=stats)
+        else:
+            out = _pallas_gnsc(
+                x, gamma, beta, w, bias if has_bias else None, num_groups,
+                eps, x2=x2 if has_x2 else None,
+                residual=residual if res_mode != "none" else None,
+                residual2=residual2 if res_mode == "proj2" else None,
+                skip_w=skip_w if res_mode in ("proj", "proj2") else None,
+                skip_b=(skip_b if (res_mode in ("proj", "proj2")
+                                   and has_skip_b) else None),
+                res_mode=res_mode, emit_stats=emit_stats, stats=stats)
         saved_stats = stats
         if emit_stats:
             out = tuple(out)  # pallas_call returns a list
@@ -1038,7 +1272,9 @@ def _block_bwd(num_groups, eps, res_mode, emit_stats, has_bias, has_skip_b,
             and res_mode in ("none", "identity", "identity_up", "proj")):
         # hand-written Pallas backward (phase A + fused XLA dx) instead of
         # the ~12-pass XLA recompute of the composition
-        outs = _pallas_gnsc_bwd(
+        bwd_fn = (_pallas_gnsc_bwd_paired if _use_pair(x, False, "none")
+                  else _pallas_gnsc_bwd)
+        outs = bwd_fn(
             x, gamma, beta, w, saved_stats[0], saved_stats[1], g,
             num_groups, eps,
             residual=residual if res_mode == "proj" else None,
@@ -1094,8 +1330,14 @@ def _fgsc_fwd(x, gamma, beta, w, bias, num_groups, eps):
         out = gn_silu_conv_reference(x, gamma, beta, w, bias, num_groups, eps)
         return out, (x, gamma, beta, w, bias, None)
     b, h, wdt, c = x.shape
-    stats = _compute_stats(x.reshape(b, h * wdt, c), _tile_rows(h * wdt))
-    out = _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps, stats=stats)
+    if _use_pair(x, False, "none"):
+        stats = _paired_stats(x)
+        out = _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
+                                  stats=stats)
+    else:
+        stats = _compute_stats(x.reshape(b, h * wdt, c), _tile_rows(h * wdt))
+        out = _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
+                           stats=stats)
     return out, (x, gamma, beta, w, bias, stats)
 
 
@@ -1103,7 +1345,9 @@ def _fgsc_bwd(num_groups, eps, residuals, g):
     x, gamma, beta, w, bias, stats = residuals
     has_bias = bias is not None
     if stats is not None and bwd_kernel_enabled():
-        dx, dgamma, dbeta, dw, dbias = _pallas_gnsc_bwd(
+        bwd_fn = (_pallas_gnsc_bwd_paired if _use_pair(x, False, "none")
+                  else _pallas_gnsc_bwd)
+        dx, dgamma, dbeta, dw, dbias = bwd_fn(
             x, gamma, beta, w, stats[0], stats[1], g, num_groups, eps)
         return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
                 dw.astype(w.dtype),

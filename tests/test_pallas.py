@@ -971,3 +971,180 @@ class TestMegaBlock:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
                                    rtol=2e-4, atol=5e-3)
+
+
+class TestPairedLane:
+    """Paired-lane layout ((W, C) bitcast to (W/2, 2C) — full 128-lane
+    registers, K/N-doubled tap matmuls): interpret-mode parity of every
+    paired res_mode plus gradient parity through the paired phase-A
+    backward. Real-device numerics are certified by tools/check_pair.py."""
+
+    def _force(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+        pl = pytest.importorskip("jax.experimental.pallas")
+
+        orig_call = pl.pallas_call
+        wrapped = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fnc.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        monkeypatch.setenv("MCEDM_PAIR", "1")
+        monkeypatch.setenv("MCEDM_BWD_KERNEL", "1")
+
+    def _inputs(self, B=2, H=32, W=16, C=32, O=32, seed=31):
+        rs = np.random.RandomState(seed)
+        x = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        return x, gamma, beta, w, bias
+
+    def test_pair_weights_identity(self):
+        """The paired tap matrix reproduces the conv exactly (pure math)."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        rs = np.random.RandomState(3)
+        B_, H, W_, C_, O = 2, 8, 16, 4, 6
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32))
+        w = jnp.asarray(rs.randn(3, 3, C_, O).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wp = fnc._pair_weights(w)
+        xp = jnp.pad(x.reshape(B_, H, W_ // 2, 2 * C_),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        got = sum(
+            jnp.einsum("bhwc,co->bhwo",
+                       jax.lax.dynamic_slice(
+                           xp, (0, dr, dj, 0),
+                           (B_, H, W_ // 2, 2 * C_)), wp[dr, dj])
+            for dr in range(3) for dj in range(3))
+        np.testing.assert_allclose(
+            np.asarray(got.reshape(B_, H, W_, O)), np.asarray(ref),
+            rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["none", "identity", "proj",
+                                      "identity_up"])
+    def test_paired_forward_interpret(self, mode, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        x, gamma, beta, w, bias = self._inputs()
+        B_, H, W_, C_ = x.shape
+        O = w.shape[-1]
+        rs = np.random.RandomState(17)
+        kwargs, ref_kwargs = {}, {}
+        if mode == "identity":
+            res = jnp.asarray(rs.randn(B_, H, W_, O).astype(np.float32))
+            kwargs = dict(residual=res)
+        elif mode == "identity_up":
+            res = jnp.asarray(
+                rs.randn(B_, H // 2, W_ // 2, O).astype(np.float32))
+            kwargs = dict(residual=res, res_up=True)
+        elif mode == "proj":
+            res = jnp.asarray(rs.randn(B_, H, W_, 24).astype(np.float32))
+            skw = jnp.asarray(0.1 * rs.randn(24, O).astype(np.float32))
+            skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+            kwargs = dict(residual=res, skip_w=skw, skip_b=skb)
+        assert fnc._use_pair(x, False, mode)
+        got, osums, osumsq = fnc.fused_gn_silu_conv_block(
+            x, gamma, beta, w, bias, G, emit_stats=True, **kwargs)
+        res_ref = kwargs.get("residual")
+        if mode == "identity_up":
+            res_ref = jnp.repeat(jnp.repeat(res_ref, 2, axis=1), 2, axis=2)
+        ref = fnc.gn_silu_conv_block_reference(
+            x, gamma, beta, w, bias, G, residual=res_ref,
+            skip_w=kwargs.get("skip_w"), skip_b=kwargs.get("skip_b"))
+        rsums, rsumsq = fnc._out_stats_reference(ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(osumsq), np.asarray(rsumsq),
+                                   rtol=2e-4, atol=5e-3)
+
+    def test_paired_chained_stats_interpret(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        x, gamma, beta, w, bias = self._inputs()
+        B_, H, W_, C_ = x.shape
+        x32 = x.reshape(B_, H * W_, C_)
+        stats = (jnp.sum(x32, 1), jnp.sum(x32 * x32, 1))
+        got = fnc.fused_gn_silu_conv_block(x, gamma, beta, w, bias, G,
+                                           stats=stats)
+        ref = fnc.gn_silu_conv_reference(x, gamma, beta, w, bias, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("mode", ["plain", "proj"])
+    def test_paired_backward_interpret(self, mode, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        x, gamma, beta, w, bias = self._inputs()
+        B_, H, W_, C_ = x.shape
+        O = w.shape[-1]
+        rs = np.random.RandomState(19)
+        cot = jnp.asarray(rs.randn(B_, H, W_, O).astype(np.float32))
+        if mode == "plain":
+            args = (x, gamma, beta, w, bias)
+
+            def f_fused(*a):
+                return jnp.sum(fnc.fused_gn_silu_conv(*a, G) * cot)
+
+            def f_ref(*a):
+                return jnp.sum(fnc.gn_silu_conv_reference(*a, G) * cot)
+        else:
+            res = jnp.asarray(rs.randn(B_, H, W_, 24).astype(np.float32))
+            skw = jnp.asarray(0.1 * rs.randn(24, O).astype(np.float32))
+            skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+            args = (x, gamma, beta, w, bias, res, skw, skb)
+
+            def f_fused(*a):
+                return jnp.sum(fnc.fused_gn_silu_conv_block(
+                    a[0], a[1], a[2], a[3], a[4], G, residual=a[5],
+                    skip_w=a[6], skip_b=a[7]) * cot)
+
+            def f_ref(*a):
+                return jnp.sum(fnc.gn_silu_conv_block_reference(
+                    a[0], a[1], a[2], a[3], a[4], G, residual=a[5],
+                    skip_w=a[6], skip_b=a[7]) * cot)
+
+        idx = tuple(range(len(args)))
+        g1 = jax.grad(f_fused, argnums=idx)(*args)
+        g2 = jax.grad(f_ref, argnums=idx)(*args)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_paired_group_norm_silu_interpret(self, monkeypatch):
+        """Paired standalone GroupNorm+SiLU kernel: forward + custom VJP."""
+        import m_cedm_tpu.pallas.fused_norm as fn
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(23)
+        x = jnp.asarray(rs.randn(B, N, C).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B, C).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B, C).astype(np.float32))
+        assert fn._pair_tile(N) is not None
+        got = fn.fused_group_norm_silu(x, gamma, beta, G)
+        ref = fn.group_norm_silu_reference(x, gamma, beta, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-4)
+
+        def f_fused(x, g, b):
+            return jnp.sum(jnp.sin(fn.fused_group_norm_silu(x, g, b, G)))
+
+        def f_ref(x, g, b):
+            return jnp.sum(jnp.sin(fn.group_norm_silu_reference(x, g, b, G)))
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2))(x, gamma, beta)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-5)

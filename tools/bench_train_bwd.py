@@ -63,7 +63,14 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
-        os.environ["MCEDM_TRAIN_FUSION"] = mode
+        # "<fusion-mode>+pair" additionally flips the paired-lane layout on
+        if mode.endswith("+pair"):
+            os.environ["MCEDM_PAIR"] = "1"
+            fusion = mode[:-len("+pair")]
+        else:
+            os.environ["MCEDM_PAIR"] = "0"
+            fusion = mode
+        os.environ["MCEDM_TRAIN_FUSION"] = fusion
         task = bench_mod.make_task(args.dtype, pallas=True)
         task.set_pde_loss_function("swe_per", False)
         state = task.init_state(jax.random.PRNGKey(0))
