@@ -122,7 +122,8 @@ def _out_stats_reference(out):
     return jnp.sum(o32, axis=(1, 2)), jnp.sum(o32 * o32, axis=(1, 2))
 
 
-def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None) -> int:
+def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None,
+              cands=(64, 32, 16, 8)) -> int:
     """Largest row-tile from (64, 32, 16, 8) dividing h. Round-3 on-device
     sweep (50-step sampler, B=16 res128 bf16, raised VMEM caps): R=64 is
     1.041x over the round-2 R=16 (1029.5 vs 1072.1 ms; R=32 1035.5) —
@@ -148,7 +149,7 @@ def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None) -> int:
         if 0 < r <= h and h % r == 0:
             return r
     r = 0
-    for cand in (64, 32, 16, 8):
+    for cand in cands:
         if h % cand == 0:
             r = cand
             break
@@ -372,7 +373,12 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     c = c1 + (x2.shape[-1] if x2 is not None else 0)
     o = w.shape[-1]
     n = n_full if n_full is not None else h * wdt
-    r = _row_tile(h, x.dtype, wdt=wdt, c=max(c, o))
+    # paired strips are half-width: whole-image row tiles fit Mosaic's
+    # scoped-VMEM ceiling and measured fastest (R=128 1.026x over R=64 on
+    # the 50-step sampler); unpaired whole-image strips were rejected
+    # on-device, so 128 stays paired-only
+    cands = (128, 64, 32, 16, 8) if n_full is not None else (64, 32, 16, 8)
+    r = _row_tile(h, x.dtype, wdt=wdt, c=max(c, o), cands=cands)
     n_tiles = h // r
     npix = h * wdt
     if stats is not None:
@@ -495,11 +501,15 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
 
 
 def pair_enabled() -> bool:
-    """MCEDM_PAIR gates the paired-lane layout (default off until the
-    on-device A/B lands; MCEDM_PAIR=1 enables)."""
+    """MCEDM_PAIR gates the paired-lane layout (default ON — measured
+    same-session on the 50-step Heun sampler, B=16 res128 bf16: base
+    1031.1 -> 888.2 ms paired -> 865.9 ms paired + whole-image row tiles
+    (1.191x, 18.48 samples/s); train step 68.7 -> 67.3 ms with the paired
+    phase-A backward; loss bit-identical across modes. MCEDM_PAIR=0
+    restores the unpaired round-3 path)."""
     import os
 
-    return os.environ.get("MCEDM_PAIR", "0") == "1"
+    return os.environ.get("MCEDM_PAIR", "1") != "0"
 
 
 def _use_pair(x, has_x2: bool, res_mode: str) -> bool:

@@ -531,6 +531,9 @@ class TestFusedNormConvBackward:
         monkeypatch.setattr(fnc.pl, "pallas_call", wrapped, raising=False)
         monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
         monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        # keep these classes pinned to the UNPAIRED kernels (the paired
+        # path has its own coverage in TestPairedLane)
+        monkeypatch.setenv("MCEDM_PAIR", "0")
         return fnc
 
     def _inputs(self, dtype=jnp.float32, H=32):
@@ -673,6 +676,9 @@ class TestUpConvKernel:
         monkeypatch.setattr(fnc.pl, "pallas_call", wrapped, raising=False)
         monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
         monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        # keep these classes pinned to the UNPAIRED kernels (the paired
+        # path has its own coverage in TestPairedLane)
+        monkeypatch.setenv("MCEDM_PAIR", "0")
         return fnc
 
     def test_up_kernel_interpret_matches_reference(self, monkeypatch):
