@@ -135,13 +135,17 @@ def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None,
     When the caller passes wdt the tile additionally shrinks until the
     estimated Mosaic stack fits the hard 64 MB scoped-VMEM ceiling, so
     larger-than-flagship shapes (res-256 eval) auto-drop to R=32/16 instead
-    of failing to compile. The estimate is calibrated on two on-device
-    anchors: the fp32 forward FAILS at ~79.91 MB for R=64/W=258/C=64 while
+    of failing to compile. The estimate is calibrated on on-device anchors:
+    the fp32 forward FAILS at ~79.91 MB for R=64/W=258/C=64 while
     R=64/W=130/C=128 (flagship fp32 decoder tail, bench-train) compiles —
-    the stack is ~linear in R*(W+2)*bytes and sublinear in C, so C is left
-    out of the formula (K = 79.91e6 / (64*258*4) ~= 1210 bytes/strip-col)."""
-    del c
+    the stack is ~linear in R*(W+2)*bytes and SUBlinear in C, modeled as
+    sqrt(C/64) (K = 79.91e6 / (64*258*4) ~= 1210 bytes/strip-col at C=64;
+    the paired fp32 decoder conv0 — R=128/W2=66/C=256 — measured 64.59 MB
+    vs 40.9 predicted channel-blind, and sqrt scaling excludes it while
+    keeping every measured-good config)."""
     import os
+
+    cscale = max(1.0, (c or 64) / 64.0) ** 0.5
 
     r_env = os.environ.get("MCEDM_TILE_R")
     if r_env:
@@ -156,7 +160,7 @@ def _row_tile(h: int, dtype=None, wdt: int = None, c: int = None,
     if r and wdt is not None:
         bytes_per = 2 if dtype == jnp.bfloat16 else 4
         while (r > 8 and h % (r // 2) == 0
-               and r * (wdt + 2) * bytes_per * 1210 > 60 * 2 ** 20):
+               and r * (wdt + 2) * bytes_per * 1210 * cscale > 60 * 2 ** 20):
             r //= 2
     return r
 
@@ -512,11 +516,28 @@ def pair_enabled() -> bool:
     return os.environ.get("MCEDM_PAIR", "1") != "0"
 
 
-def _use_pair(x, has_x2: bool, res_mode: str) -> bool:
-    if not pair_enabled() or has_x2 or res_mode == "proj2":
-        return False
+def _pair_width_ok(x) -> bool:
     # paired width must still satisfy the kernels' lane-dim constraints
     return x.shape[2] % 16 == 0 and (x.shape[2] // 2) >= 8
+
+
+def _use_pair(x, has_x2: bool, res_mode: str) -> bool:
+    """Single-input paired gate (dual inputs route via _use_pair_dual)."""
+    if not pair_enabled() or has_x2 or res_mode == "proj2":
+        return False
+    return _pair_width_ok(x)
+
+
+def _use_pair_dual(x, x2, num_groups: int) -> bool:
+    """Paired dual-input gate: both halves must be lane-tileable and the
+    GroupNorm group boundary must not straddle the concat (ADM's
+    4-channels-per-group minimum guarantees this for the decoder concats,
+    but check anyway)."""
+    if not pair_enabled() or not _pair_width_ok(x):
+        return False
+    c1, c2 = x.shape[-1], x2.shape[-1]
+    per = (c1 + c2) // num_groups
+    return c1 % 8 == 0 and c2 % 8 == 0 and per > 0 and c1 % per == 0
 
 
 def _pair_vec(v):
@@ -580,20 +601,69 @@ def _paired_stats(x):
 
 
 def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
-                        residual=None, skip_w=None, skip_b=None,
+                        x2=None, residual=None, residual2=None,
+                        skip_w=None, skip_b=None,
                         res_mode="none", emit_stats=False, stats=None):
     """The paired-lane front end of _pallas_gnsc: bitcast inputs/outputs,
     paired weights/vectors, block-diag group matrix. `stats` are UNPAIRED
     (B, C) channel statistics (chained or precomputed); emitted stats fold
-    back to (B, O)."""
-    b, h, wdt, c = x.shape
+    back to (B, O).
+
+    Dual (x2 given): each half pairs independently — per-half paired
+    weights stacked per tap, per-half duplicated vectors, and a
+    block_diag(g1, g1, g2, g2) group matrix (groups must not straddle the
+    concat boundary — gated by _use_pair_dual)."""
+    b, h, wdt, c1 = x.shape
+    c2 = x2.shape[-1] if x2 is not None else 0
+    c = c1 + c2
     o = w.shape[-1]
     w2 = wdt // 2
-    xp = x.reshape(b, h, w2, 2 * c)
-    if stats is None:
-        stats = _paired_stats(x)
+    xp = x.reshape(b, h, w2, 2 * c1)
+    x2p = x2.reshape(b, h, w2, 2 * c2) if x2 is not None else None
+
+    if x2 is None:
+        if stats is None:
+            stats = _paired_stats(x)
+        stats_p = (_pair_vec(stats[0]), _pair_vec(stats[1]))
+        w_p = _pair_weights(w)
+        gamma_p, beta_p = _pair_vec(gamma), _pair_vec(beta)
+        gmat_p = jnp.asarray(_pair_gmat(num_groups, c))
+        skw_p = _pair_skip(skip_w) if skip_w is not None else None
+    else:
+        if stats is None:
+            s1 = _paired_stats(x)
+            s2 = _paired_stats(x2)
+            stats = (jnp.concatenate([s1[0], s2[0]], -1),
+                     jnp.concatenate([s1[1], s2[1]], -1))
+
+        def dual_vec(v):
+            return jnp.concatenate([_pair_vec(v[:, :c1]),
+                                    _pair_vec(v[:, c1:])], -1)
+
+        stats_p = (dual_vec(stats[0]), dual_vec(stats[1]))
+        gamma_p, beta_p = dual_vec(gamma), dual_vec(beta)
+        # per-half paired tap weights stacked per tap (the dual kernel
+        # contracts the first 2C1 rows against x1 and the rest against x2)
+        w_p = jnp.concatenate([_pair_weights(w[:, :, :c1, :]),
+                               _pair_weights(w[:, :, c1:, :])], axis=2)
+        # groups never straddle the boundary, so the combined group matrix
+        # splits cleanly into per-half blocks
+        g_full = _group_matrix(num_groups, c)
+        gmat_np = np.zeros((2 * c, 2 * c), np.float32)
+        gmat_np[:c1, :c1] = g_full[:c1, :c1]
+        gmat_np[c1:2 * c1, c1:2 * c1] = g_full[:c1, :c1]
+        gmat_np[2 * c1:2 * c1 + c2, 2 * c1:2 * c1 + c2] = g_full[c1:, c1:]
+        gmat_np[2 * c1 + c2:, 2 * c1 + c2:] = g_full[c1:, c1:]
+        gmat_p = jnp.asarray(gmat_np)
+        if skip_w is not None:
+            cr1 = residual.shape[-1]
+            skw_p = jnp.concatenate([_pair_skip(skip_w[:cr1]),
+                                     _pair_skip(skip_w[cr1:])], axis=0)
+        else:
+            skw_p = None
+
     kw = {}
-    res_p = None
+    res_p = res2_p = None
     if res_mode == "identity":
         res_p = residual.reshape(b, h, w2, 2 * o)
     elif res_mode == "identity_up":
@@ -603,17 +673,20 @@ def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
         kw["res_pre_up"] = True
     elif res_mode == "proj":
         res_p = residual.reshape(b, h, w2, 2 * residual.shape[-1])
+    elif res_mode == "proj2":
+        res_p = residual.reshape(b, h, w2, 2 * residual.shape[-1])
+        res2_p = residual2.reshape(b, h, w2, 2 * residual2.shape[-1])
     out = _pallas_gnsc(
-        xp, _pair_vec(gamma), _pair_vec(beta), _pair_weights(w),
+        xp, gamma_p, beta_p, w_p,
         (jnp.concatenate([bias, bias]) if bias is not None else None),
-        num_groups, eps,
-        residual=res_p,
-        skip_w=_pair_skip(skip_w) if skip_w is not None else None,
+        num_groups, eps, x2=x2p,
+        residual=res_p, residual2=res2_p,
+        skip_w=skw_p,
         skip_b=(jnp.concatenate([skip_b, skip_b])
                 if skip_b is not None else None),
         res_mode=res_mode, emit_stats=emit_stats,
-        stats=(_pair_vec(stats[0]), _pair_vec(stats[1])),
-        gmat_arr=jnp.asarray(_pair_gmat(num_groups, c)),
+        stats=stats_p,
+        gmat_arr=gmat_p,
         n_full=h * wdt, **kw)
     if emit_stats:
         outp, osums, osumsq = out
@@ -1231,7 +1304,8 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
                has_x2):
     saved_stats = None
     if _use_pallas(x):
-        pair = _use_pair(x, has_x2, res_mode)
+        pair = (_use_pair_dual(x, x2, num_groups) if has_x2
+                else _use_pair(x, has_x2, res_mode))
         stats = (sums_in, sumsq_in) if has_stats else None
         if stats is None and not has_x2:
             # precompute (and save) the channel statistics so a hand-written
@@ -1245,10 +1319,12 @@ def _block_fwd(x, gamma, beta, w, bias, x2, residual, residual2,
         if pair:
             out = _pallas_gnsc_paired(
                 x, gamma, beta, w, bias if has_bias else None, num_groups,
-                eps, residual=residual if res_mode != "none" else None,
-                skip_w=skip_w if res_mode == "proj" else None,
-                skip_b=(skip_b if (res_mode == "proj" and has_skip_b)
-                        else None),
+                eps, x2=x2 if has_x2 else None,
+                residual=residual if res_mode != "none" else None,
+                residual2=residual2 if res_mode == "proj2" else None,
+                skip_w=skip_w if res_mode in ("proj", "proj2") else None,
+                skip_b=(skip_b if (res_mode in ("proj", "proj2")
+                                   and has_skip_b) else None),
                 res_mode=res_mode, emit_stats=emit_stats, stats=stats)
         else:
             out = _pallas_gnsc(

@@ -1154,3 +1154,61 @@ class TestPairedLane:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-3, atol=1e-5)
+
+    def test_paired_dual_interpret(self, monkeypatch):
+        """Paired dual-input kernel (unmaterialized decoder concat + proj2
+        residual + emitted stats) vs the concat-then-reference composition."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(29)
+        B_, H, W_, C1, C2, O = 2, 32, 16, 16, 16, 32
+        x1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        x2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        C_ = C1 + C2
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        r1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        r2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        skw = jnp.asarray(0.1 * rs.randn(C_, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        assert fnc._use_pair_dual(x1, x2, G)
+        got, osums, osumsq = fnc.fused_gn_silu_conv_block(
+            x1, gamma, beta, w, bias, G, x2=x2, residual=r1, residual2=r2,
+            skip_w=skw, skip_b=skb, emit_stats=True)
+        ref = fnc.gn_silu_conv_block_reference(
+            jnp.concatenate([x1, x2], -1), gamma, beta, w, bias, G,
+            residual=jnp.concatenate([r1, r2], -1), skip_w=skw, skip_b=skb)
+        rsums, rsumsq = fnc._out_stats_reference(ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(osums), np.asarray(rsums),
+                                   rtol=2e-4, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(osumsq), np.asarray(rsumsq),
+                                   rtol=2e-4, atol=5e-3)
+
+    def test_paired_dual_chained_stats_interpret(self, monkeypatch):
+        """Paired dual with CHAINED concat stats (= concat of halves' stats,
+        the decoder's production path)."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(37)
+        B_, H, W_, C1, C2, O = 2, 32, 16, 16, 16, 32
+        x1 = jnp.asarray(rs.randn(B_, H, W_, C1).astype(np.float32))
+        x2 = jnp.asarray(rs.randn(B_, H, W_, C2).astype(np.float32))
+        C_ = C1 + C2
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        cat = jnp.concatenate([x1, x2], -1).reshape(B_, H * W_, C_)
+        stats = (jnp.sum(cat, 1), jnp.sum(cat * cat, 1))
+        got = fnc.fused_gn_silu_conv_block(x1, gamma, beta, w, bias, G,
+                                           x2=x2, stats=stats)
+        ref = fnc.gn_silu_conv_reference(jnp.concatenate([x1, x2], -1),
+                                         gamma, beta, w, bias, G)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
