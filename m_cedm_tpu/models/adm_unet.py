@@ -112,13 +112,19 @@ class UNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True, x2=None,
-                 in_stats=None, want_stats: bool = False):
+                 in_stats=None, want_stats: bool = False,
+                 paired: bool = False, splits=None):
         """x2: second half of a channel-concat input (the decoder's skip) —
         on the fully-fused path the concat is never materialized (dual-input
         kernels); otherwise it is concatenated here. in_stats: chained
         (sums, sumsq) channel statistics of the (concatenated) input from
         the producing kernel. want_stats: also return the output's channel
-        statistics (or None when attention runs after the tail kernel)."""
+        statistics (or None when attention runs after the tail kernel).
+        paired: x is a PAIRED (B, H, W/2, 2C) activation (MCEDM_PAIRIO
+        threading; dual-order when splits=(c1, c2)) and the output stays
+        paired."""
+        if paired:
+            return self._paired(x, emb, in_stats, want_stats, splits)
         in_channels = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         c = self.out_channels
         num_heads = c // self.channels_per_head if self.attention else 0
@@ -302,6 +308,99 @@ class UNetBlock(nn.Module):
         out = self._attention((h + orig) * self.skip_scale, c, num_heads)
         return (out, None) if want_stats else out
 
+    def _paired(self, xp, emb, in_stats, want_stats, splits):
+        """Paired-IO block body (MCEDM_PAIRIO): every activation enters and
+        leaves in the (B, H, W/2, 2C) paired layout — the pallas kernels
+        chain in the default tiled layout with no relayout copies. Module
+        names match the unpaired path exactly (checkpoint-compatible)."""
+        from m_cedm_tpu.models.layers import downsample2x_mean_paired
+        from m_cedm_tpu.pallas.fused_norm_conv import (
+            fused_block_paired, fused_gn_silu_paired, fused_up_paired,
+            pair_array, unpair_array)
+
+        assert self.adaptive_scale and self.dropout == 0
+        in_channels = xp.shape[-1] // 2
+        c = self.out_channels
+        num_heads = c // self.channels_per_head if self.attention else 0
+        eps = self.eps
+        gin = _adm_groups(in_channels)
+        gc = _adm_groups(c)
+        zc = jnp.zeros((0,), jnp.float32)
+
+        norm0 = GroupNormSiLU(gin, eps=eps, name="norm0")
+        fold_probe = jnp.zeros(xp.shape[:1] + (1, 1, in_channels), xp.dtype)
+        g0, b0 = norm0(fold_probe, fold_only=True)
+        conv0 = Conv2d(c, kernel=3, up=self.up, down=self.down, **INIT,
+                       name="conv0")
+        conv0_w, conv0_b = conv0(fold_probe, params_only=True)
+        params = Linear(c * 2, **INIT, name="affine")(emb)
+        scale, shift = jnp.split(params, 2, axis=-1)
+        norm1 = GroupNormSiLU(gc, eps=eps, name="norm1")
+        probe_c = jnp.zeros(xp.shape[:1] + (1, 1, c), xp.dtype)
+        g1, b1 = norm1(probe_c, film_scale=scale, film_shift=shift,
+                       fold_only=True)
+        conv1 = Conv2d(c, kernel=3, **INIT_ZERO, name="conv1")
+        conv1_w, conv1_b = conv1(probe_c, params_only=True)
+        skw = skb = None
+        if c != in_channels:
+            skw, skb = Conv2d(c, kernel=1, **INIT, name="skip")(
+                fold_probe, params_only=True)
+
+        h_stats = None
+        res_kw = {}
+        if self.down:
+            assert splits is None
+            y = fused_gn_silu_paired(xp, g0, b0,
+                                     in_stats[0] if in_stats else zc,
+                                     in_stats[1] if in_stats else zc,
+                                     gin, eps, None, in_stats is not None)
+            y = downsample2x_mean_paired(y)
+            h, hs, hss = fused_block_paired(y, None, None, conv0_w, conv0_b,
+                                            gin, eps, act=False,
+                                            emit_stats=True)
+            h_stats = (hs, hss)
+            res_kw = dict(residual=downsample2x_mean_paired(xp),
+                          skip_w=skw, skip_b=skb)
+        elif self.up:
+            assert splits is None
+            # one cheap LOW-res relayout; the up kernel re-emits paired
+            x_lo = unpair_array(xp)
+            h = fused_up_paired(x_lo, g0, b0, conv0_w, conv0_b, gin, eps,
+                                tuple(in_stats) if in_stats else (zc, zc),
+                                in_stats is not None)
+            res_lo = x_lo
+            if skw is not None:
+                # 1x1-project the skip at LOW res (commutes with nearest up)
+                res_lo = jnp.einsum("bhwc,co->bhwo", x_lo.astype(xp.dtype),
+                                    skw.astype(xp.dtype))
+                if skb is not None:
+                    res_lo = res_lo + skb.astype(res_lo.dtype)
+            res_kw = dict(residual=res_lo, res_up=True)
+        else:
+            h, hs, hss = fused_block_paired(xp, g0, b0, conv0_w, conv0_b,
+                                            gin, eps, splits=splits,
+                                            stats=in_stats, emit_stats=True)
+            h_stats = (hs, hss)
+            res_kw = (dict(residual=xp, skip_w=skw, skip_b=skb,
+                           res_splits=splits)
+                      if skw is not None else dict(residual=xp))
+
+        emit = (want_stats and not num_heads and self.skip_scale == 1.0)
+        out = fused_block_paired(h, g1, b1, conv1_w, conv1_b, gc, eps,
+                                 stats=h_stats, emit_stats=emit, **res_kw)
+        out_stats = None
+        if emit:
+            out, os_, oss_ = out
+            out_stats = (os_, oss_)
+        if self.skip_scale != 1.0:
+            out = out * jnp.asarray(self.skip_scale, out.dtype)
+        if num_heads:
+            # attention stays in the unpaired layout (res-32 tensors — the
+            # two relayouts are cheap)
+            out = pair_array(self._attention(unpair_array(out), c,
+                                             num_heads))
+        return (out, out_stats) if want_stats else out
+
     def _attention(self, x, c, num_heads):
         # plain helper called from the compact __call__ — same module scope,
         # so param names ("qkv", "proj", auto-named GroupNorm) are unchanged
@@ -411,8 +510,33 @@ class AdmUNet(nn.Module):
         # on the megakernel path the skip-concat never materializes — both
         # halves ride into the block kernel as separate row-tiled streams
         use_mega = use_chain and mega_enabled() and not train_trace()
+        # paired-IO threading: activations flow between kernels in the
+        # (B, H, W/2, 2C) paired layout end-to-end (no relayout copies);
+        # the decoder concat is a channel-concat of paired halves handled
+        # by dual-order constants. Requires the fully-fused chain, the
+        # standard input-conditioning structure, and widths divisible by 16
+        # at every level.
+        from m_cedm_tpu.models.layers import pair_io_enabled
+
+        # sampling traces only: under grad the new paths (paired pool,
+        # linear conv, up kernel, paired norm) back-propagate through XLA
+        # recompute of the reference and measured SLOWER than the train
+        # path's hand-written backwards (88.4 vs 67.5 ms/step same-session)
+        min_res = cfg.resolution >> (len(cfg.ch_mult) - 1)
+        use_pairio = (use_chain and pair_io_enabled() and not use_mega
+                      and not train_trace()
+                      and cfg.dropout == 0 and min_res % 16 == 0
+                      and not (cfg.cond_channels > 0 and not cfg.cat_cond)
+                      and not (cfg.dx_cond and not cfg.cat_dx))
 
         def run(blk, x, x2=None, in_stats=None):
+            if use_pairio:
+                splits = None
+                if x2 is not None:
+                    splits = (x.shape[-1] // 2, x2.shape[-1] // 2)
+                    x = jnp.concatenate([x, x2], axis=-1)
+                return blk(x, emb, deterministic, in_stats=in_stats,
+                           want_stats=True, paired=True, splits=splits)
             if use_chain:
                 if x2 is not None and not use_dual and not use_mega:
                     # materialize the concat (measured faster than the
@@ -425,6 +549,9 @@ class AdmUNet(nn.Module):
                 x = jnp.concatenate([x, x2], axis=-1)
             return blk(x, emb, deterministic), None
 
+        if use_pairio:
+            from m_cedm_tpu.pallas.fused_norm_conv import pair_array
+            x = pair_array(x)
         stats = None
         skips = [(x, None)]
         cout = feat_ch
@@ -480,6 +607,21 @@ class AdmUNet(nn.Module):
 
         out_norm = GroupNormSiLU(_adm_groups(cout), name="out_norm")
         out_conv = Conv2d(cfg.out_ch, kernel=3, **INIT_ZERO, name="out_conv")
+        if use_pairio:
+            # paired out-head norm, then ONE unpair relayout into the small
+            # XLA out conv (O=2 Pallas stores measured slower in round 2)
+            from m_cedm_tpu.pallas.fused_norm_conv import (
+                fused_gn_silu_paired, unpair_array)
+
+            zc_ = jnp.zeros((0,), jnp.float32)
+            g, b = out_norm(jnp.zeros(x.shape[:1] + (1, 1, cout), x.dtype),
+                            fold_only=True)
+            y = fused_gn_silu_paired(x, g, b,
+                                     stats[0] if stats is not None else zc_,
+                                     stats[1] if stats is not None else zc_,
+                                     _adm_groups(cout), 1e-5, None,
+                                     stats is not None)
+            return out_conv(unpair_array(y))
         if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)
             return out_conv(x, fused_norm=(g, b, _adm_groups(cout), 1e-5))

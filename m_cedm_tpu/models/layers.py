@@ -275,6 +275,51 @@ def _upsample_phase_conv(x, w, bias):
     return out
 
 
+def pair_io_enabled() -> bool:
+    """MCEDM_PAIRIO gates END-TO-END paired threading through the ADM net:
+    activations flow between the Pallas kernels in the (B, H, W/2, 2C)
+    paired layout, eliminating the layout-assignment copies XLA inserts at
+    every pallas <-> XLA-conv boundary (profiled: ~1.5 GB/call of pure
+    relayout traffic at the flagship shape). Default ON for sampling traces
+    (same-session 50-step Heun A/B, B=16 res128 bf16: 867.9 -> 642.4 ms,
+    1.351x, 24.9 samples/s); train traces keep the hand-written-backward
+    path (adm_unet gates on train_trace(): pairio's recompute backwards
+    measured 88.4 vs 67.5 ms/step). MCEDM_PAIRIO=0 reverts."""
+    import os
+
+    return os.environ.get("MCEDM_PAIRIO", "1") != "0"
+
+
+@jax.custom_vjp
+def downsample2x_mean_paired(xp):
+    """2x2 mean pooling on a PAIRED (B, H, W/2, 2C) activation -> paired
+    (B, H/2, W/4, 2C). Rows pool via strided adds (XLA, fused); the W pool
+    is a channel FOLD (a pair's two parities are W-neighbours); the only
+    layout op is one half-res re-pair."""
+    from m_cedm_tpu.pallas.fused_norm_conv import pair_array
+
+    c = xp.shape[-1] // 2
+    e = xp[:, 0::2] + xp[:, 1::2]
+    f = (e[..., :c] + e[..., c:]) * jnp.asarray(0.25, xp.dtype)
+    return pair_array(f)
+
+
+def _dsp_fwd(xp):
+    return downsample2x_mean_paired(xp), None
+
+
+def _dsp_bwd(_, g):
+    from m_cedm_tpu.pallas.fused_norm_conv import unpair_array
+
+    # each pooled cell feeds both rows and both parities of its source pair
+    gh = unpair_array(g)
+    ghr = jnp.repeat(gh, 2, axis=1)
+    return (jnp.concatenate([ghr, ghr], -1) * jnp.asarray(0.25, g.dtype),)
+
+
+downsample2x_mean_paired.defvjp(_dsp_fwd, _dsp_bwd)
+
+
 @jax.custom_vjp
 def downsample2x_mean(x):
     """Exact equivalent of the EDM depthwise conv(f, stride 2) downsample for

@@ -180,7 +180,7 @@ def _compiler_params(r: int, wdt: int, c: int):
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
                  res_mode: str = "none", emit_stats: bool = False,
-                 dual: bool = False):
+                 dual: bool = False, act: bool = True):
     """Row-tiled fused norm+silu+conv: grid (B, H/R). The halo rows ride in
     as thin pre-sliced (B, n_tiles, W, C) row arrays (xp = last row of the
     tile above, xn = first row of the tile below) — fetching them as whole
@@ -226,11 +226,17 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
     c2 = xc2_ref.shape[3] if dual else 0
     c = c1 + c2
     o = out_ref.shape[-1]
-    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
-                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
-    gamma = (gamma_ref[pl.ds(b, 1), :] * rstd).reshape(1, 1, c)
-    beta = (beta_ref[pl.ds(b, 1), :]
-            - gamma_ref[pl.ds(b, 1), :] * rstd * mean).reshape(1, 1, c)
+    if act:
+        mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                                sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n,
+                                eps)
+        gamma = (gamma_ref[pl.ds(b, 1), :] * rstd).reshape(1, 1, c)
+        beta = (beta_ref[pl.ds(b, 1), :]
+                - gamma_ref[pl.ds(b, 1), :] * rstd * mean).reshape(1, 1, c)
+    else:
+        # linear mode: plain conv3x3 (+skip/residual) on a pre-activated
+        # input — the down-block prefix's conv after the paired pool
+        gamma = beta = None
 
     top_live = (t > 0).astype(jnp.float32)
     bot_live = (t < n_tiles - 1).astype(jnp.float32)
@@ -244,7 +250,8 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
 
     import os as _os
 
-    pad_v2 = _os.environ.get("MCEDM_PAD", "2") == "2"
+    # linear mode has no round-2 pad structure to re-measure
+    pad_v2 = _os.environ.get("MCEDM_PAD", "2") == "2" or not act
 
     def norm_pad(xp, xc, xn, gamma_s, beta_s):
         """(R+2, W+2, Ci) normalized, silu'd, halo/W-zero-padded strip.
@@ -259,6 +266,11 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
         zcol = jnp.zeros((r + 2, 1, ci), mm_dtype)
         if pad_v2:
             def ns(v, live=None):
+                if not act:
+                    y = v.astype(mm_dtype)
+                    if live is not None:
+                        y = y * live.astype(mm_dtype)
+                    return y
                 y = v.astype(jnp.float32) * gamma_s + beta_s
                 y = y * jax.nn.sigmoid(y)
                 if live is not None:
@@ -285,8 +297,10 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
         return jnp.concatenate([zcol, y, zcol], axis=1)
 
     ypad = norm_pad(xp_ref, xc_ref, xn_ref,
-                    jax.lax.slice(gamma, (0, 0, 0), (1, 1, c1)),
-                    jax.lax.slice(beta, (0, 0, 0), (1, 1, c1)))
+                    jax.lax.slice(gamma, (0, 0, 0), (1, 1, c1)) if act
+                    else None,
+                    jax.lax.slice(beta, (0, 0, 0), (1, 1, c1)) if act
+                    else None)
     ypad2 = None
     if dual:
         ypad2 = norm_pad(xp2_ref, xc2_ref, xn2_ref,
@@ -363,7 +377,8 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                  x2=None, residual=None, residual2=None,
                  skip_w=None, skip_b=None, res_mode="none",
                  emit_stats=False, stats=None,
-                 gmat_arr=None, n_full=None, res_pre_up=False):
+                 gmat_arr=None, n_full=None, res_pre_up=False,
+                 act=True):
     """x2: second half of an unmaterialized channel concat — gamma/beta/
     stats/w are for the combined (C1+C2) input. residual2: second half of an
     unmaterialized concat residual (res_mode='proj2').
@@ -385,6 +400,12 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     r = _row_tile(h, x.dtype, wdt=wdt, c=max(c, o), cands=cands)
     n_tiles = h // r
     npix = h * wdt
+    if not act:
+        # linear mode: the norm constants are dead kernel inputs
+        zv = jnp.zeros((b, c), jnp.float32)
+        sums = sumsq = zv
+        gamma = beta = zv
+        stats = (sums, sumsq)
     if stats is not None:
         # chained from the producing kernel's emit_stats — no stats pass
         sums, sumsq = stats
@@ -477,7 +498,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
     return pl.pallas_call(
         functools.partial(_gnsc_kernel, n=n, eps=eps, n_tiles=n_tiles,
                           res_mode=res_mode, emit_stats=emit_stats,
-                          dual=x2 is not None),
+                          dual=x2 is not None, act=act),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -598,6 +619,143 @@ def _paired_stats(x):
         sp, ssp = _compute_stats(xp, tile)
         return sp[:, :c] + sp[:, c:], ssp[:, :c] + ssp[:, c:]
     return _compute_stats(x.reshape(b, h * wdt, c), _tile_rows(h * wdt))
+
+
+# --- paired-IO (threading) helpers: dual-order channel layouts -------------
+#
+# Under MCEDM_PAIRIO the net threads paired activations END-TO-END, so the
+# decoder's skip concat happens on paired halves: the channel order becomes
+# [x1_p0, x1_p1, x2_p0, x2_p1] ("dual-order", described by splits=(c1, c2)).
+# All constants absorb the order: per-half paired weights stacked per tap,
+# per-half duplicated vectors, block_diag(g1, g1, g2, g2) group matrix.
+
+
+def _stats4_kernel(x_ref, sums_ref, sumsq_ref):
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, w2, c2 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    x = x_ref[0].astype(jnp.float32).reshape(r * w2, c2)
+
+    @pl.when(t == 0)
+    def _():
+        sums_ref[pl.ds(b, 1), :] = jnp.zeros_like(sums_ref[pl.ds(b, 1), :])
+        sumsq_ref[pl.ds(b, 1), :] = jnp.zeros_like(sumsq_ref[pl.ds(b, 1), :])
+
+    sums_ref[pl.ds(b, 1), :] += jnp.sum(x, axis=0, keepdims=True)
+    sumsq_ref[pl.ds(b, 1), :] += jnp.sum(x * x, axis=0, keepdims=True)
+
+
+def _compute_stats_4d(xp):
+    """Per-PAIRED-channel (B, C2) sums/sumsq of a (B, H, W2, C2) activation.
+    The 3D stats kernel's (B, N, C) input would cost a flatten RELAYOUT on
+    TPU (the (8,128)-tiled layouts of (H, W2, C2) and (N, C2) differ); this
+    kernel reads the 4D tensor in place."""
+    b, h, w2, c2 = xp.shape
+    r = _row_tile(h, xp.dtype, wdt=w2, c=c2)
+    x_spec = pl.BlockSpec((1, r, w2, c2), lambda i, t: (i, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((b, c2), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _stats4_kernel, grid=(b, h // r),
+        in_specs=[x_spec], out_specs=[vec_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, c2), jnp.float32)] * 2,
+        compiler_params=_compiler_params(r, w2, c2))(xp)
+
+
+def _fold_stats(sp, splits):
+    """Paired per-parity (B, 2C) sums -> per-original-channel (B, C);
+    splits=(c1, c2) folds a dual-order layout's halves independently."""
+    if splits is None:
+        c = sp.shape[-1] // 2
+        return sp[:, :c] + sp[:, c:]
+    c1, c2 = splits
+    return jnp.concatenate([sp[:, :c1] + sp[:, c1:2 * c1],
+                            sp[:, 2 * c1:2 * c1 + c2] + sp[:, 2 * c1 + c2:]],
+                           -1)
+
+
+def _dual_vec(v, splits):
+    """Per-original-channel (B, C) -> paired (dual-order) (B, 2C)."""
+    if splits is None:
+        return _pair_vec(v)
+    c1 = splits[0]
+    return jnp.concatenate([_pair_vec(v[:, :c1]), _pair_vec(v[:, c1:])], -1)
+
+
+def _pair_weights_split(w, splits):
+    if splits is None:
+        return _pair_weights(w)
+    c1 = splits[0]
+    return jnp.concatenate([_pair_weights(w[:, :, :c1, :]),
+                            _pair_weights(w[:, :, c1:, :])], axis=2)
+
+
+def _pair_skip_split(skw, splits):
+    if splits is None:
+        return _pair_skip(skw)
+    c1 = splits[0]
+    return jnp.concatenate([_pair_skip(skw[:c1]), _pair_skip(skw[c1:])],
+                           axis=0)
+
+
+def _pair_gmat_split(num_groups: int, c: int, splits) -> np.ndarray:
+    g = _group_matrix(num_groups, c)
+    out = np.zeros((2 * c, 2 * c), np.float32)
+    if splits is None:
+        out[:c, :c] = g
+        out[c:, c:] = g
+        return out
+    c1, c2 = splits
+    out[:c1, :c1] = g[:c1, :c1]
+    out[c1:2 * c1, c1:2 * c1] = g[:c1, :c1]
+    out[2 * c1:2 * c1 + c2, 2 * c1:2 * c1 + c2] = g[c1:, c1:]
+    out[2 * c1 + c2:, 2 * c1 + c2:] = g[c1:, c1:]
+    return out
+
+
+def _fold_dw(dw_p9, c, o, splits):
+    """Paired tap-weight gradients (9*2C, 2O) -> (3, 3, C, O): each original
+    tap (dr, dw) sums its two (dj, p, q) slots (see _pair_weights)."""
+    slots = {0: [(0, 1, 0), (1, 0, 1)],
+             1: [(1, 0, 0), (1, 1, 1)],
+             2: [(1, 1, 0), (2, 0, 1)]}
+
+    def fold(dw_p):
+        # dw_p: (3, 3, 2, ci, 2, o) = (dr, dj, p, ci, q, o)
+        return jnp.stack([
+            jnp.stack([sum(dw_p[dr, dj, p, :, q, :]
+                           for dj, p, q in slots[dwi]) for dwi in range(3)])
+            for dr in range(3)])
+
+    if splits is None:
+        return fold(dw_p9.reshape(3, 3, 2, c, 2, o))
+    c1, c2 = splits
+    per_tap = dw_p9.reshape(9, 2 * c, 2 * o)
+    d1 = fold(per_tap[:, :2 * c1].reshape(3, 3, 2, c1, 2, o))
+    d2 = fold(per_tap[:, 2 * c1:].reshape(3, 3, 2, c2, 2, o))
+    return jnp.concatenate([d1, d2], axis=2)
+
+
+def unpair_array(xp, splits=None):
+    """(B, H, W2, 2C) paired [dual-order when splits] -> (B, H, W, C)."""
+    b, h, w2, c2 = xp.shape
+    if splits is None:
+        return xp.reshape(b, h, w2 * 2, c2 // 2)
+    c1, c2_ = splits
+    return jnp.concatenate(
+        [xp[..., :2 * c1].reshape(b, h, 2 * w2, c1),
+         xp[..., 2 * c1:].reshape(b, h, 2 * w2, c2_)], -1)
+
+
+def pair_array(x, splits=None):
+    """(B, H, W, C) -> paired (B, H, W/2, 2C) [dual-order when splits]."""
+    b, h, w, c = x.shape
+    if splits is None:
+        return x.reshape(b, h, w // 2, 2 * c)
+    c1, c2 = splits
+    return jnp.concatenate(
+        [x[..., :c1].reshape(b, h, w // 2, 2 * c1),
+         x[..., c1:].reshape(b, h, w // 2, 2 * c2)], -1)
 
 
 def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
@@ -1451,3 +1609,478 @@ def _fgsc_bwd(num_groups, eps, residuals, g):
 
 
 fused_gn_silu_conv.defvjp(_fgsc_fwd, _fgsc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Paired-IO block entry (MCEDM_PAIRIO end-to-end threading)
+# ---------------------------------------------------------------------------
+#
+# Under paired threading the net never materializes the unpaired layout
+# between kernels — the (B, H, W/2, 2C) activations flow straight from one
+# pallas_call to the next in the default tiled layout, eliminating the
+# layout-assignment copies XLA inserts at every pallas <-> XLA-conv boundary
+# (profiled at ~1.5 GB/call of pure relayout traffic at the flagship shape).
+
+
+def conv3x3_same_reference(x, w, bias):
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def fused_block_paired(xp, gamma, beta, w, bias, num_groups, eps=1e-5, *,
+                       splits=None, res_splits=None, residual=None,
+                       skip_w=None, skip_b=None,
+                       stats=None, emit_stats=False, res_up=False,
+                       act=True):
+    """Paired-IO residual-block tail: everything enters and leaves PAIRED.
+
+    xp: (B, H, W/2, 2C) paired activation (dual-order when splits=(c1, c2)
+    — the decoder's channel-concat of two paired halves). gamma/beta/stats:
+    per-ORIGINAL-channel (B, C). residual: paired (identity: (B,H,W/2,2O);
+    proj: any paired layout, described by res_splits when dual-order —
+    independent of the input's splits) — EXCEPT identity_up (res_up=True),
+    where it is the UNPAIRED low-res skip (B, H/2, W/2, O) (its channel-
+    concat is the paired W-repeat). act=False runs the conv without the
+    norm+SiLU prefix (the down-block conv after the paired pool).
+    Returns paired out [+ folded (B, O) stats when emit_stats]."""
+    if residual is None:
+        res_mode = "none"
+    elif skip_w is not None:
+        res_mode = "proj"
+    else:
+        res_mode = "identity_up" if res_up else "identity"
+    assert act or res_mode == "none"
+    zc = jnp.zeros((0,), jnp.float32)
+    return _blockp_core(
+        xp, gamma if act else zc, beta if act else zc, w,
+        bias if bias is not None else zc,
+        residual if residual is not None else zc,
+        skip_w if skip_w is not None else zc,
+        skip_b if skip_b is not None else zc,
+        stats[0] if stats is not None else zc,
+        stats[1] if stats is not None else zc,
+        num_groups, eps, splits, res_splits, res_mode, emit_stats,
+        bias is not None, skip_b is not None, stats is not None, act)
+
+
+def _blockp_reference(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+                      num_groups, eps, splits, res_splits, res_mode,
+                      emit_stats, has_bias, has_skip_b, act):
+    """Identical-math fallback: unpair -> reference composition -> re-pair."""
+    x = unpair_array(xp, splits)
+    res = None
+    if res_mode == "identity":
+        res = unpair_array(residual)
+    elif res_mode == "identity_up":
+        res = jnp.repeat(jnp.repeat(residual, 2, axis=1), 2, axis=2)
+    elif res_mode == "proj":
+        res = unpair_array(residual, res_splits)
+    if act:
+        out = gn_silu_conv_block_reference(
+            x, gamma, beta, w, bias if has_bias else None, num_groups, eps,
+            residual=res, skip_w=skip_w if res_mode == "proj" else None,
+            skip_b=(skip_b if (res_mode == "proj" and has_skip_b)
+                    else None))
+    else:
+        out = conv3x3_same_reference(x, w, bias if has_bias else None)
+        if res is not None:
+            out = out + res.astype(out.dtype)
+    if emit_stats:
+        osums, osumsq = _out_stats_reference(out)
+        return pair_array(out), osums, osumsq
+    return pair_array(out)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19))
+def _blockp_core(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+                 sums_in, sumsq_in, num_groups, eps, splits, res_splits,
+                 res_mode, emit_stats, has_bias, has_skip_b, has_stats, act):
+    out, _ = _blockp_fwd(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+                         sums_in, sumsq_in, num_groups, eps, splits,
+                         res_splits, res_mode, emit_stats, has_bias,
+                         has_skip_b, has_stats, act)
+    return out
+
+
+def _blockp_fwd(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+                sums_in, sumsq_in, num_groups, eps, splits, res_splits,
+                res_mode, emit_stats, has_bias, has_skip_b, has_stats, act):
+    b, h, w2, c2 = xp.shape
+    o = w.shape[-1]
+    c = c2 // 2
+    saved = None
+    if _use_pallas(xp):
+        stats_u = None
+        if act:
+            if has_stats:
+                stats_u = (sums_in, sumsq_in)
+            else:
+                sp, ssp = _compute_stats_4d(xp)
+                stats_u = (_fold_stats(sp, splits), _fold_stats(ssp, splits))
+        kw = {}
+        res_p = residual if res_mode in ("identity", "proj") else None
+        if res_mode == "identity_up":
+            # unpaired low-res skip: channel-concat IS the paired W-repeat
+            res_p = jnp.concatenate([residual, residual], axis=-1)
+            kw["res_pre_up"] = True
+        out = _pallas_gnsc(
+            xp,
+            _dual_vec(gamma, splits) if act else gamma,
+            _dual_vec(beta, splits) if act else beta,
+            _pair_weights_split(w, splits),
+            (jnp.concatenate([bias, bias]) if has_bias else None),
+            num_groups, eps,
+            residual=res_p,
+            skip_w=(_pair_skip_split(skip_w, res_splits)
+                    if res_mode == "proj" else None),
+            skip_b=(jnp.concatenate([skip_b, skip_b])
+                    if (res_mode == "proj" and has_skip_b) else None),
+            res_mode=res_mode, emit_stats=emit_stats,
+            stats=((_dual_vec(stats_u[0], splits),
+                    _dual_vec(stats_u[1], splits)) if act else None),
+            gmat_arr=(jnp.asarray(_pair_gmat_split(num_groups, c, splits))
+                      if act else None),
+            n_full=h * w2 * 2, act=act, **kw)
+        saved = stats_u
+        if emit_stats:
+            outp, os_, osq = out
+            out = (outp, os_[:, :o] + os_[:, o:], osq[:, :o] + osq[:, o:])
+    else:
+        out = _blockp_reference(xp, gamma, beta, w, bias, residual, skip_w,
+                                skip_b, num_groups, eps, splits, res_splits,
+                                res_mode, emit_stats, has_bias, has_skip_b,
+                                act)
+    return out, (xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+                 sums_in, sumsq_in, saved)
+
+
+def _fold_dskw(dskw2, cr, o, splits):
+    if splits is None:
+        d = dskw2.reshape(2, cr, 2, o)
+        return d[0, :, 0, :] + d[1, :, 1, :]
+    c1, c2 = splits
+    d1 = dskw2[:2 * c1].reshape(2, c1, 2, o)
+    d2 = dskw2[2 * c1:].reshape(2, c2, 2, o)
+    return jnp.concatenate([d1[0, :, 0, :] + d1[1, :, 1, :],
+                            d2[0, :, 0, :] + d2[1, :, 1, :]], axis=0)
+
+
+def _blockp_bwd(num_groups, eps, splits, res_splits, res_mode, emit_stats,
+                has_bias, has_skip_b, has_stats, act, residuals, g):
+    (xp, gamma, beta, w, bias, residual, skip_w, skip_b,
+     sums_in, sumsq_in, saved) = residuals
+    gp = g[0] if emit_stats else g  # stats cotangents are zero by chaining
+    if (saved is not None and act and bwd_kernel_enabled() and not emit_stats
+            and res_mode in ("none", "identity", "identity_up", "proj")):
+        b, h, w2, c2 = xp.shape
+        c = c2 // 2
+        o = w.shape[-1]
+        n = h * w2 * 2
+        outs = _bwd_phase_a(
+            xp, _dual_vec(gamma, splits), _dual_vec(beta, splits),
+            _pair_weights_split(w, splits),
+            _dual_vec(saved[0], splits), _dual_vec(saved[1], splits),
+            gp, num_groups, eps,
+            residual=residual if res_mode == "proj" else None,
+            res_mode="proj" if res_mode == "proj" else "none",
+            gmat_arr=jnp.asarray(_pair_gmat_split(num_groups, c, splits)),
+            n_full=n)
+        dw_p9, db2, dgamma2, dbeta2, da_p = outs[:5]
+        dgamma = _fold_stats(dgamma2, splits)
+        dbeta = _fold_stats(dbeta2, splits)
+        db2 = db2.reshape(2 * o)
+        dbias = db2[:o] + db2[o:]
+        dw = _fold_dw(dw_p9, c, o, splits).astype(w.dtype)
+        # dx stays PAIRED: per-original-channel coefficients, dual_vec'd,
+        # applied elementwise to the paired da/x — no relayout anywhere
+        gmat = jnp.asarray(_group_matrix(num_groups, c))
+        mean, rstd = _mean_rstd(saved[0], saved[1], gmat, n, eps)
+        m1 = _gc(gamma * dbeta / n, gmat)
+        m2 = _gc(gamma * dgamma / n, gmat)
+
+        def dv(vec):
+            return _dual_vec(vec, splits)[:, None, None, :]
+
+        dx = (da_p.astype(jnp.float32) * dv(rstd * gamma)
+              - (xp.astype(jnp.float32) - dv(mean)) * dv(rstd * rstd * m2)
+              - dv(rstd * m1)).astype(xp.dtype)
+        dres = jnp.zeros_like(residual)
+        dskw = jnp.zeros_like(skip_w)
+        dskb = jnp.zeros_like(skip_b)
+        if res_mode == "identity":
+            dres = gp.astype(residual.dtype)
+        elif res_mode == "identity_up":
+            # each low-res skip cell feeds both rows and both parities
+            g32 = gp.astype(jnp.float32)
+            e = g32[:, 0::2] + g32[:, 1::2]
+            dres = (e[..., :o] + e[..., o:]).astype(residual.dtype)
+        elif res_mode == "proj":
+            skw_p = _pair_skip_split(skip_w, res_splits).astype(xp.dtype)
+            dres = jnp.einsum("bhwo,ro->bhwr", gp.astype(xp.dtype), skw_p)
+            dskw = _fold_dskw(outs[5], skip_w.shape[0], o,
+                              res_splits).astype(skip_w.dtype)
+            if has_skip_b:
+                dskb = dbias.astype(skip_b.dtype)
+        return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+                dw,
+                dbias.astype(bias.dtype) if has_bias
+                else jnp.zeros_like(bias),
+                dres, dskw, dskb,
+                jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
+
+    def f(xp, gamma, beta, w, bias, residual, skip_w, skip_b):
+        return _blockp_reference(xp, gamma, beta, w, bias, residual, skip_w,
+                                 skip_b, num_groups, eps, splits, res_splits,
+                                 res_mode, emit_stats, has_bias, has_skip_b,
+                                 act)
+
+    _, vjp = jax.vjp(f, xp, gamma, beta, w, bias, residual, skip_w, skip_b)
+    grads = vjp(g)
+    return grads + (jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
+
+
+_blockp_core.defvjp(_blockp_fwd, _blockp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Paired up-block prefix: norm+silu at low res -> upsample2x in VMEM ->
+# conv3x3 emitting the HIGH-res activation directly in the paired layout.
+# ---------------------------------------------------------------------------
+#
+# The unpaired up kernel needed the W axis pre-repeated in XLA (Mosaic
+# rejects sublane interleaves), which lost on-device. In the PAIRED layout
+# the W-repeat is trivial: high pair j covers high pixels 2j, 2j+1 = low
+# pixel j twice, so the upsampled paired strip is a channel CONCAT of the
+# normalized low-res strip with itself — an in-VMEM lane concat. Combined
+# with the axis-0 row repeat, the 4x upsampled tensor never exists outside
+# VMEM and the output lands paired for the next paired-IO consumer.
+
+
+def _gnsc_up_pair_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref,
+                         sums_ref, sumsq_ref, gmat_ref, w_ref, bias_ref,
+                         out_ref, *, n: int, eps: float, n_tiles: int):
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, wl, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    c2 = 2 * c
+    o2 = out_ref.shape[-1]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = (gamma_ref[pl.ds(b, 1), :] * rstd).reshape(1, 1, c)
+    beta = (beta_ref[pl.ds(b, 1), :]
+            - gamma_ref[pl.ds(b, 1), :] * rstd * mean).reshape(1, 1, c)
+    top_live = (t > 0).astype(jnp.float32)
+    bot_live = (t < n_tiles - 1).astype(jnp.float32)
+    mm_dtype = xc_ref.dtype
+
+    def ns(v, live=None):
+        y = v.astype(jnp.float32) * gamma + beta
+        y = y * jax.nn.sigmoid(y)
+        if live is not None:
+            y = y * live
+        return y.astype(mm_dtype)
+
+    def pair2(y):
+        # paired W-repeat: both parities of high pair j read low pixel j
+        return jnp.concatenate([y, y], axis=-1)
+
+    mid_up = jnp.repeat(pair2(ns(xc_ref[0])), 2, axis=0)  # (2R, Wl, 2C)
+    ypad = jnp.concatenate([pair2(ns(xp_ref[0], top_live)), mid_up,
+                            pair2(ns(xn_ref[0], bot_live))], axis=0)
+    zcol = jnp.zeros((2 * r + 2, 1, c2), mm_dtype)
+    ypad = jnp.concatenate([zcol, ypad, zcol], axis=1)  # (2R+2, Wl+2, 2C)
+
+    r2 = 2 * r
+    acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r2 * wl, o2))
+    for dr in range(3):
+        for dj in range(3):
+            blk = jax.lax.slice(ypad, (dr, dj, 0), (dr + r2, dj + wl, c2))
+            acc = acc + jax.lax.dot_general(
+                blk.reshape(r2 * wl, c2),
+                w_ref[pl.ds((dr * 3 + dj) * c2, c2), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(r2, wl, o2).astype(out_ref.dtype)
+
+
+def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
+                         stats=None):
+    """x: UNPAIRED low-res (B, Hl, Wl, C); returns PAIRED high-res
+    (B, 2Hl, Wl, 2O)."""
+    b, hl, wl, c = x.shape
+    o = w.shape[-1]
+    n = hl * wl
+    r = _row_tile(hl, x.dtype, wdt=2 * wl, c=max(2 * c, 2 * o))
+    n_tiles = hl // r
+    if stats is None:
+        # the 4D stats kernel reads any (B, H, W, C) block layout — run it
+        # on the unpaired low-res input directly (no fold needed)
+        stats = _compute_stats_4d(x)
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    w2 = _pair_weights(w).astype(x.dtype).reshape(9 * 2 * c, 2 * o)
+    bias2 = jnp.concatenate(
+        [bias, bias]).astype(jnp.float32).reshape(1, 2 * o) if bias is not None \
+        else jnp.zeros((1, 2 * o), jnp.float32)
+    x_prev, x_next = _halo_rows(x, r)
+
+    x_spec = pl.BlockSpec((1, r, wl, c), lambda i, t: (i, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hp = pl.BlockSpec((1, 1, wl, c),
+                      lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    hn = pl.BlockSpec((1, 1, wl, c),
+                      lambda i, t: (i, jnp.minimum(t + 1, n_tiles - 1), 0, 0),
+                      memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((b, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((c, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((9 * 2 * c, 2 * o), lambda i, t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 2 * o), lambda i, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 2 * r, wl, 2 * o), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_gnsc_up_pair_kernel, n=n, eps=eps,
+                          n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[hp, x_spec, hn, vec_spec, vec_spec, vec_spec, vec_spec,
+                  mat_spec, w_spec, bias_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 2 * hl, wl, 2 * o), x.dtype),
+        compiler_params=_compiler_params(2 * r, wl, 2 * max(c, o)),
+    )(x_prev, x, x_next, gamma, beta, stats[0], stats[1], gmat, w2, bias2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8))
+def fused_up_paired(x, gamma, beta, w, bias, num_groups, eps, stats_in,
+                    has_stats):
+    """Paired-IO up-block prefix. x: UNPAIRED low-res (B, Hl, Wl, C)
+    (one cheap low-res relayout from the paired chain); stats_in: chained
+    (B, C) low-res channel statistics (column/row duplication preserves
+    them). Returns the PAIRED high-res conv output (B, 2Hl, Wl, 2O)."""
+    out, _ = _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps,
+                          stats_in, has_stats)
+    return out
+
+
+def _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in,
+                 has_stats):
+    if _use_pallas(x) and x.shape[2] % 16 == 0:
+        out = _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
+                                   stats=tuple(stats_in) if has_stats
+                                   else None)
+    else:
+        out = pair_array(gn_silu_up_conv_reference(x, gamma, beta, w, bias,
+                                                   num_groups, eps))
+    return out, (x, gamma, beta, w, bias, stats_in)
+
+
+def _up_pair_bwd(num_groups, eps, has_stats, residuals, g):
+    x, gamma, beta, w, bias, stats_in = residuals
+
+    def f(x, gamma, beta, w, bias):
+        return pair_array(gn_silu_up_conv_reference(x, gamma, beta, w, bias,
+                                                    num_groups, eps))
+
+    ref_out, vjp = jax.vjp(f, x, gamma, beta, w, bias)
+    grads = vjp(g.astype(ref_out.dtype))
+    return grads + (jax.tree_util.tree_map(jnp.zeros_like, stats_in),)
+
+
+fused_up_paired.defvjp(_up_pair_fwd, _up_pair_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Paired-IO standalone GroupNorm+SiLU (4D blocks, no flatten relayout)
+# ---------------------------------------------------------------------------
+
+
+def _apply4_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
+                   gmat_ref, out_ref, *, n: int, eps: float):
+    b = pl.program_id(0)
+    c2 = x_ref.shape[-1]
+    x = x_ref[0].astype(jnp.float32)
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    y = ((x - mean.reshape(1, 1, c2)) * rstd.reshape(1, 1, c2)
+         * gamma_ref[pl.ds(b, 1), :].reshape(1, 1, c2)
+         + beta_ref[pl.ds(b, 1), :].reshape(1, 1, c2))
+    out_ref[0] = (y * jax.nn.sigmoid(y)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_gn_silu_paired(xp, gamma, beta, sums_in, sumsq_in,
+                         num_groups, eps, splits, has_stats):
+    """silu(gn(x)*gamma+beta) on a PAIRED (B, H, W/2, 2C) activation
+    [dual-order when splits], per-ORIGINAL-channel gamma/beta/stats
+    (B, C). Reads and writes the paired layout in place — no flatten
+    relayout, full 128-lane tiles. Backward recomputes the reference
+    composition through the unpaired view."""
+    out, _ = _gnsp_fwd(xp, gamma, beta, sums_in, sumsq_in, num_groups, eps,
+                       splits, has_stats)
+    return out
+
+
+def _gnsp_fwd(xp, gamma, beta, sums_in, sumsq_in, num_groups, eps, splits,
+              has_stats):
+    b, h, w2, c2 = xp.shape
+    c = c2 // 2
+    if _use_pallas(xp):
+        if has_stats:
+            stats = (sums_in, sumsq_in)
+        else:
+            sp, ssp = _compute_stats_4d(xp)
+            stats = (_fold_stats(sp, splits), _fold_stats(ssp, splits))
+        r = _row_tile(h, xp.dtype, wdt=w2, c=c2,
+                      cands=(128, 64, 32, 16, 8))
+        x_spec = pl.BlockSpec((1, r, w2, c2), lambda i, t: (i, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((b, c2), lambda i, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((c2, c2), lambda i, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_apply4_kernel, n=h * w2 * 2, eps=eps),
+            grid=(b, h // r),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            compiler_params=_compiler_params(r, w2, c2),
+        )(xp, _dual_vec(gamma, splits), _dual_vec(beta, splits),
+          _dual_vec(stats[0], splits), _dual_vec(stats[1], splits),
+          jnp.asarray(_pair_gmat_split(num_groups, c, splits)))
+    else:
+        x = unpair_array(xp, splits)
+        b_, hh, ww, cc = x.shape
+        out = group_norm_silu_reference(
+            x.reshape(b_, hh * ww, cc), gamma, beta, num_groups,
+            eps).reshape(x.shape).astype(xp.dtype)
+        out = pair_array(out, splits)
+    return out, (xp, gamma, beta, sums_in, sumsq_in)
+
+
+def _gnsp_bwd(num_groups, eps, splits, has_stats, residuals, g):
+    xp, gamma, beta, sums_in, sumsq_in = residuals
+
+    def f(xp, gamma, beta):
+        x = unpair_array(xp, splits)
+        b_, hh, ww, cc = x.shape
+        out = group_norm_silu_reference(
+            x.reshape(b_, hh * ww, cc), gamma, beta, num_groups,
+            eps).reshape(x.shape).astype(xp.dtype)
+        return pair_array(out, splits)
+
+    _, vjp = jax.vjp(f, xp, gamma, beta)
+    grads = vjp(g)
+    return grads + (jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
+
+
+fused_gn_silu_paired.defvjp(_gnsp_fwd, _gnsp_bwd)

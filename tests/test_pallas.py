@@ -1212,3 +1212,146 @@ class TestPairedLane:
                                          gamma, beta, w, bias, G)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestPairedIO:
+    """MCEDM_PAIRIO end-to-end paired threading: the full-net toggle must be
+    bit-identical through the reference fallbacks on CPU, and the paired-IO
+    primitives must match the reference composition with kernels forced in
+    interpret mode."""
+
+    def _force(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+        pl = pytest.importorskip("jax.experimental.pallas")
+
+        orig_call = pl.pallas_call
+        wrapped = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fnc.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        monkeypatch.setenv("MCEDM_PAIR", "1")
+        monkeypatch.setenv("MCEDM_BWD_KERNEL", "1")
+
+    def test_net_toggle_bit_identical(self, monkeypatch):
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=32, ch_mult=(1, 1),
+                            num_res_blocks=1, attn_resolutions=(16,),
+                            resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([1.5, 0.3])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                      for k, l in zip(keys, leaves)])
+
+        monkeypatch.setenv("MCEDM_PAIRIO", "0")
+        base = np.asarray(net.apply(params, x, t))
+        g0 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        monkeypatch.setenv("MCEDM_PAIRIO", "1")
+        got = np.asarray(net.apply(params, x, t))
+        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        np.testing.assert_array_equal(got, base)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_paired_io_primitives_interpret(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(0)
+        B_, H, W_, C_, O = 2, 32, 16, 32, 32
+
+        def arr(*s):
+            return jnp.asarray(rs.randn(*s).astype(np.float32))
+
+        x = arr(B_, H, W_, C_)
+        gamma = 1 + 0.1 * arr(B_, C_)
+        beta = 0.1 * arr(B_, C_)
+        w = 0.1 * arr(3, 3, C_, O)
+        bias = 0.1 * arr(O)
+        xp = fnc.pair_array(x)
+        zc = jnp.zeros((0,), jnp.float32)
+
+        # plain / linear / up / norm
+        want = fnc.gn_silu_conv_reference(x, gamma, beta, w, bias, G)
+        got = fnc.fused_block_paired(xp, gamma, beta, w, bias, G)
+        np.testing.assert_allclose(np.asarray(fnc.unpair_array(got)),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+        got = fnc.fused_block_paired(xp, None, None, w, bias, G, act=False)
+        np.testing.assert_allclose(
+            np.asarray(fnc.unpair_array(got)),
+            np.asarray(fnc.conv3x3_same_reference(x, w, bias)),
+            rtol=2e-4, atol=2e-4)
+        got = fnc.fused_up_paired(x, gamma, beta, w, bias, G, 1e-5,
+                                  (zc, zc), False)
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(fnc.pair_array(fnc.gn_silu_up_conv_reference(
+                x, gamma, beta, w, bias, G))), rtol=2e-4, atol=2e-4)
+        got = fnc.fused_gn_silu_paired(xp, gamma, beta, zc, zc, G, 1e-5,
+                                       None, False)
+        from m_cedm_tpu.pallas.fused_norm import group_norm_silu_reference
+        want = group_norm_silu_reference(
+            x.reshape(B_, H * W_, C_), gamma, beta, G).reshape(x.shape)
+        np.testing.assert_allclose(np.asarray(fnc.unpair_array(got)),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+
+        # dual-order proj + gradients through the paired backward
+        C1 = C2 = C_ // 2
+        xcat_p = jnp.concatenate([fnc.pair_array(x[..., :C1]),
+                                  fnc.pair_array(x[..., C1:])], -1)
+        skw = 0.1 * arr(C_, O)
+        skb = 0.1 * arr(O)
+        cot = arr(B_, H, W_ // 2, 2 * O)
+
+        def f_k(xcat_p, gamma, beta, w, bias, skw, skb):
+            return jnp.sum(fnc.fused_block_paired(
+                xcat_p, gamma, beta, w, bias, G, splits=(C1, C2),
+                residual=xcat_p, res_splits=(C1, C2), skip_w=skw,
+                skip_b=skb) * cot)
+
+        def f_r(xcat_p, gamma, beta, w, bias, skw, skb):
+            xx = fnc.unpair_array(xcat_p, (C1, C2))
+            y = fnc.gn_silu_conv_block_reference(
+                xx, gamma, beta, w, bias, G, residual=xx, skip_w=skw,
+                skip_b=skb)
+            return jnp.sum(fnc.pair_array(y) * cot)
+
+        v_k = f_k(xcat_p, gamma, beta, w, bias, skw, skb)
+        v_r = f_r(xcat_p, gamma, beta, w, bias, skw, skb)
+        np.testing.assert_allclose(float(v_k), float(v_r), rtol=1e-4)
+        gk = jax.grad(f_k, argnums=tuple(range(7)))(xcat_p, gamma, beta, w,
+                                                    bias, skw, skb)
+        gr = jax.grad(f_r, argnums=tuple(range(7)))(xcat_p, gamma, beta, w,
+                                                    bias, skw, skb)
+        for nm, a, b_ in zip(("dx", "dgamma", "dbeta", "dw", "dbias",
+                              "dskw", "dskb"), gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4, err_msg=nm)
+
+    def test_paired_pool_and_vjp(self):
+        from m_cedm_tpu.models.layers import (downsample2x_mean,
+                                              downsample2x_mean_paired)
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(2, 16, 16, 8).astype(np.float32))
+        want = downsample2x_mean(x)
+        got = fnc.unpair_array(downsample2x_mean_paired(fnc.pair_array(x)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        cot = jnp.asarray(rs.randn(2, 8, 4, 16).astype(np.float32))
+        g1 = jax.grad(lambda x: jnp.sum(
+            downsample2x_mean_paired(fnc.pair_array(x)) * cot))(x)
+        g2 = jax.grad(lambda x: jnp.sum(
+            fnc.pair_array(downsample2x_mean(x)) * cot))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-6)

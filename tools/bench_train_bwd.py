@@ -63,13 +63,21 @@ def main():
 
     results = {}
     for mode in args.modes.split(","):
-        # "<fusion-mode>+pair" additionally flips the paired-lane layout on
-        if mode.endswith("+pair"):
+        # suffixes: "+pairio" threads the paired layout end-to-end,
+        # "+pair"/"+nopair" force the paired-lane kernels on/off
+        # (bare modes run the current defaults)
+        fusion = mode
+        os.environ["MCEDM_PAIRIO"] = "0"
+        os.environ.pop("MCEDM_PAIR", None)
+        if fusion.endswith("+pairio"):
+            os.environ["MCEDM_PAIRIO"] = "1"
+            fusion = fusion[:-len("+pairio")]
+        elif fusion.endswith("+pair"):
             os.environ["MCEDM_PAIR"] = "1"
-            fusion = mode[:-len("+pair")]
-        else:
+            fusion = fusion[:-len("+pair")]
+        elif fusion.endswith("+nopair"):
             os.environ["MCEDM_PAIR"] = "0"
-            fusion = mode
+            fusion = fusion[:-len("+nopair")]
         os.environ["MCEDM_TRAIN_FUSION"] = fusion
         task = bench_mod.make_task(args.dtype, pallas=True)
         task.set_pde_loss_function("swe_per", False)
