@@ -363,11 +363,14 @@ class UNetBlock(nn.Module):
                           skip_w=skw, skip_b=skb)
         elif self.up:
             assert splits is None
-            # one cheap LOW-res relayout; the up kernel re-emits paired
+            # one cheap LOW-res relayout; the up kernel re-emits paired and
+            # hands the tail norm its stats (no high-res stats pass)
             x_lo = unpair_array(xp)
-            h = fused_up_paired(x_lo, g0, b0, conv0_w, conv0_b, gin, eps,
-                                tuple(in_stats) if in_stats else (zc, zc),
-                                in_stats is not None)
+            h, hs, hss = fused_up_paired(
+                x_lo, g0, b0, conv0_w, conv0_b, gin, eps,
+                tuple(in_stats) if in_stats else (zc, zc),
+                in_stats is not None, True)
+            h_stats = (hs, hss)
             res_lo = x_lo
             if skw is not None:
                 # 1x1-project the skip at LOW res (commutes with nearest up)
@@ -473,7 +476,9 @@ class AdmUNet(nn.Module):
             x = jnp.concatenate([x, dx_cat], axis=-1)
 
         feat_ch = ch * cfg.ch_mult[0]
-        x = Conv2d(feat_ch, kernel=3, **INIT, name="conv_in")(x)
+        conv_in = Conv2d(feat_ch, kernel=3, **INIT, name="conv_in")
+        x_raw = x
+        x = conv_in(x)
 
         # --- feature-level conditioning encoders -------------------------
         combine = []
@@ -549,11 +554,26 @@ class AdmUNet(nn.Module):
                 x = jnp.concatenate([x, x2], axis=-1)
             return blk(x, emb, deterministic), None
 
-        if use_pairio:
-            from m_cedm_tpu.pallas.fused_norm_conv import pair_array
-            x = pair_array(x)
         stats = None
-        skips = [(x, None)]
+        if use_pairio:
+            from m_cedm_tpu.models.layers import in_head_kernel_enabled
+            from m_cedm_tpu.pallas.fused_norm_conv import (
+                fused_block_paired, pair_array)
+
+            if (in_head_kernel_enabled() and x_raw.shape[-1] % 4 == 0
+                    and not combine):
+                # conv_in as a linear paired kernel: the XLA conv's
+                # spatial-major layout preference cost two full-res copies
+                # against the kernels' default-layout pins, and the output
+                # lands paired with the first block's stats for free
+                w_in, b_in = conv_in(x_raw, params_only=True)
+                x, s_in, ss_in = fused_block_paired(
+                    pair_array(x_raw), None, None, w_in, b_in, 1,
+                    act=False, emit_stats=True)
+                stats = (s_in, ss_in)
+            else:
+                x = pair_array(x)
+        skips = [(x, stats)]
         cout = feat_ch
         for level, mult in enumerate(cfg.ch_mult):
             res = cfg.resolution >> level

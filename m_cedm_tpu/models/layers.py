@@ -290,6 +290,14 @@ def pair_io_enabled() -> bool:
     return os.environ.get("MCEDM_PAIRIO", "1") != "0"
 
 
+def in_head_kernel_enabled() -> bool:
+    """MCEDM_IN_HEAD gates conv_in as a linear paired kernel under paired
+    threading (default kernel; =conv restores the XLA conv for A/Bs)."""
+    import os
+
+    return os.environ.get("MCEDM_IN_HEAD", "kernel") == "kernel"
+
+
 @jax.custom_vjp
 def downsample2x_mean_paired(xp):
     """2x2 mean pooling on a PAIRED (B, H, W/2, 2C) activation -> paired
@@ -298,8 +306,13 @@ def downsample2x_mean_paired(xp):
     layout op is one half-res re-pair."""
     from m_cedm_tpu.pallas.fused_norm_conv import pair_array
 
-    c = xp.shape[-1] // 2
-    e = xp[:, 0::2] + xp[:, 1::2]
+    b, h, w2, c2 = xp.shape
+    c = c2 // 2
+    # rows pool via a MAJOR-dim split (layout-free reshape: the minor
+    # (W2, 2C) dims are untouched) + unit-stride indexing — strided row
+    # slices lower to H-major transpose copies on TPU (134 MB/call audited)
+    x4 = xp.reshape(b, h // 2, 2, w2, c2)
+    e = x4[:, :, 0] + x4[:, :, 1]
     f = (e[..., :c] + e[..., c:]) * jnp.asarray(0.25, xp.dtype)
     return pair_array(f)
 
@@ -436,12 +449,24 @@ class Conv2d(nn.Module):
                 stats=fused_stats, emit_stats=emit_stats, res_up=res_up)
         if phase_up:
             return _upsample_phase_conv(x, kernel, bias)
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(k // 2, k // 2), (k // 2, k // 2)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        import os as _os
+
+        if k == 1 and _os.environ.get("MCEDM_1X1", "matmul") == "matmul":
+            # 1x1 conv as a matmul: lax dots are layout-neutral, while
+            # conv_general_dilated pulls its operands into spatial-major
+            # layouts (a relayout copy against the Pallas kernels'
+            # default-layout pins — attention qkv/proj, skip projections).
+            # MCEDM_1X1=conv restores the conv lowering for A/Bs.
+            y = jnp.einsum("bhwc,co->bhwo", x,
+                           kernel.reshape(in_ch, self.features)
+                           .astype(x.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=[(k // 2, k // 2), (k // 2, k // 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

@@ -1864,7 +1864,12 @@ _blockp_core.defvjp(_blockp_fwd, _blockp_bwd)
 
 def _gnsc_up_pair_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref,
                          sums_ref, sumsq_ref, gmat_ref, w_ref, bias_ref,
-                         out_ref, *, n: int, eps: float, n_tiles: int):
+                         *out_refs, n: int, eps: float, n_tiles: int,
+                         emit_stats: bool = False):
+    out_ref = out_refs[0]
+    osums_ref = osumsq_ref = None
+    if emit_stats:
+        osums_ref, osumsq_ref = out_refs[1], out_refs[2]
     b, t = pl.program_id(0), pl.program_id(1)
     r, wl, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
     c2 = 2 * c
@@ -1906,10 +1911,21 @@ def _gnsc_up_pair_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     out_ref[0] = acc.reshape(r2, wl, o2).astype(out_ref.dtype)
+    if emit_stats:
+        @pl.when(t == 0)
+        def _():
+            osums_ref[pl.ds(b, 1), :] = jnp.zeros_like(
+                osums_ref[pl.ds(b, 1), :])
+            osumsq_ref[pl.ds(b, 1), :] = jnp.zeros_like(
+                osumsq_ref[pl.ds(b, 1), :])
+
+        osums_ref[pl.ds(b, 1), :] += jnp.sum(acc, axis=0, keepdims=True)
+        osumsq_ref[pl.ds(b, 1), :] += jnp.sum(acc * acc, axis=0,
+                                              keepdims=True)
 
 
 def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
-                         stats=None):
+                         stats=None, emit_stats=False):
     """x: UNPAIRED low-res (B, Hl, Wl, C); returns PAIRED high-res
     (B, 2Hl, Wl, 2O)."""
     b, hl, wl, c = x.shape
@@ -1946,51 +1962,79 @@ def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 2 * r, wl, 2 * o), lambda i, t: (i, t, 0, 0),
                             memory_space=pltpu.VMEM)
+    out_specs = out_spec
+    out_shape = jax.ShapeDtypeStruct((b, 2 * hl, wl, 2 * o), x.dtype)
+    if emit_stats:
+        ovec = pl.BlockSpec((b, 2 * o), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+        out_specs = [out_spec, ovec, ovec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, 2 * o), jnp.float32),
+                     jax.ShapeDtypeStruct((b, 2 * o), jnp.float32)]
     return pl.pallas_call(
         functools.partial(_gnsc_up_pair_kernel, n=n, eps=eps,
-                          n_tiles=n_tiles),
+                          n_tiles=n_tiles, emit_stats=emit_stats),
         grid=(b, n_tiles),
         in_specs=[hp, x_spec, hn, vec_spec, vec_spec, vec_spec, vec_spec,
                   mat_spec, w_spec, bias_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 2 * hl, wl, 2 * o), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_compiler_params(2 * r, wl, 2 * max(c, o)),
     )(x_prev, x, x_next, gamma, beta, stats[0], stats[1], gmat, w2, bias2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8, 9))
 def fused_up_paired(x, gamma, beta, w, bias, num_groups, eps, stats_in,
-                    has_stats):
+                    has_stats, emit_stats=False):
     """Paired-IO up-block prefix. x: UNPAIRED low-res (B, Hl, Wl, C)
     (one cheap low-res relayout from the paired chain); stats_in: chained
     (B, C) low-res channel statistics (column/row duplication preserves
-    them). Returns the PAIRED high-res conv output (B, 2Hl, Wl, 2O)."""
+    them). Returns the PAIRED high-res conv output (B, 2Hl, Wl, 2O)
+    [+ folded (B, O) output stats when emit_stats — the tail norm's stats
+    pass for free]."""
     out, _ = _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps,
-                          stats_in, has_stats)
+                          stats_in, has_stats, emit_stats)
     return out
 
 
 def _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in,
-                 has_stats):
+                 has_stats, emit_stats):
     if _use_pallas(x) and x.shape[2] % 16 == 0:
         out = _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
                                    stats=tuple(stats_in) if has_stats
-                                   else None)
+                                   else None, emit_stats=emit_stats)
+        if emit_stats:
+            o = w.shape[-1]
+            outp, os_, osq = out
+            out = (outp, os_[:, :o] + os_[:, o:], osq[:, :o] + osq[:, o:])
     else:
-        out = pair_array(gn_silu_up_conv_reference(x, gamma, beta, w, bias,
-                                                   num_groups, eps))
+        y = gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups,
+                                      eps)
+        out = pair_array(y)
+        if emit_stats:
+            osums, osumsq = _out_stats_reference(y)
+            out = (out, osums, osumsq)
     return out, (x, gamma, beta, w, bias, stats_in)
 
 
-def _up_pair_bwd(num_groups, eps, has_stats, residuals, g):
+def _up_pair_bwd(num_groups, eps, has_stats, emit_stats, residuals, g):
     x, gamma, beta, w, bias, stats_in = residuals
 
     def f(x, gamma, beta, w, bias):
-        return pair_array(gn_silu_up_conv_reference(x, gamma, beta, w, bias,
-                                                    num_groups, eps))
+        y = gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups,
+                                      eps)
+        out = pair_array(y)
+        if emit_stats:
+            osums, osumsq = _out_stats_reference(y)
+            return out, osums, osumsq
+        return out
 
     ref_out, vjp = jax.vjp(f, x, gamma, beta, w, bias)
-    grads = vjp(g.astype(ref_out.dtype))
+    if emit_stats:
+        g = (g[0].astype(ref_out[0].dtype), g[1], g[2])
+    else:
+        g = g.astype(ref_out.dtype)
+    grads = vjp(g)
     return grads + (jax.tree_util.tree_map(jnp.zeros_like, stats_in),)
 
 
