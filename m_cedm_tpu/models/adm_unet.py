@@ -523,13 +523,17 @@ class AdmUNet(nn.Module):
         # at every level.
         from m_cedm_tpu.models.layers import pair_io_enabled
 
-        # sampling traces only: under grad the new paths (paired pool,
-        # linear conv, up kernel, paired norm) back-propagate through XLA
-        # recompute of the reference and measured SLOWER than the train
-        # path's hand-written backwards (88.4 vs 67.5 ms/step same-session)
+        # train traces additionally need MCEDM_PAIRIO_TRAIN: every paired
+        # primitive now has a hand-written backward, but the default stays
+        # measured (the first pairio-train A/B with recompute backwards
+        # lost 88.4 vs 67.5 ms/step)
+        from m_cedm_tpu.models.layers import pair_io_train_enabled
+
         min_res = cfg.resolution >> (len(cfg.ch_mult) - 1)
-        use_pairio = (use_chain and pair_io_enabled() and not use_mega
-                      and not train_trace()
+        use_pairio = ((conv_fusion_enabled() and block_fusion_enabled()
+                       and not cfg.remat)
+                      and pair_io_enabled() and not use_mega
+                      and (not train_trace() or pair_io_train_enabled())
                       and cfg.dropout == 0 and min_res % 16 == 0
                       and not (cfg.cond_channels > 0 and not cfg.cat_cond)
                       and not (cfg.dx_cond and not cfg.cat_dx))

@@ -290,6 +290,19 @@ def pair_io_enabled() -> bool:
     return os.environ.get("MCEDM_PAIRIO", "1") != "0"
 
 
+def pair_io_train_enabled() -> bool:
+    """MCEDM_PAIRIO_TRAIN extends paired threading to grad-bearing traces.
+    Default ON: with hand-written paired backwards for every primitive
+    (dual-order phase A, paired 4D norm, linear-conv phase A, up-kernel
+    transpose with layout-free folds) the train step measured 61.2 vs
+    66.8 ms/step same-session (B=16 res128 bf16, identical loss); the
+    earlier recompute-backward attempt lost 88.4 vs 67.5 and is gone.
+    MCEDM_PAIRIO_TRAIN=0 restores the unpaired-IO train path."""
+    import os
+
+    return os.environ.get("MCEDM_PAIRIO_TRAIN", "1") != "0"
+
+
 def in_head_kernel_enabled() -> bool:
     """MCEDM_IN_HEAD gates conv_in as a linear paired kernel under paired
     threading (default kernel; =conv restores the XLA conv for A/Bs)."""

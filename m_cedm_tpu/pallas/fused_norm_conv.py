@@ -1107,7 +1107,7 @@ def _act_from_x(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref,
 
 
 def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
-                       has_res: bool):
+                       has_res: bool, act: bool = True):
     """Phase A: accumulate dW (9C, O), dbias (1, O), dgamma/dbeta (B, C)
     [, dskip_w (C_res, O)] over the (B, H/R) grid, and emit da (the
     pre-activation cotangent) as a full tensor — dx is then ONE fused XLA
@@ -1127,9 +1127,15 @@ def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
     bot_live = (t < n_tiles - 1).astype(jnp.float32)
     mm_dtype = x_ref.dtype
 
-    xhat, s, dsilu, gamma, rstd = _act_from_x(
-        x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, b, n, eps)
-    s_mm = s.astype(mm_dtype).reshape(r * wdt, c)
+    if act:
+        xhat, s, dsilu, gamma, rstd = _act_from_x(
+            x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref, b, n,
+            eps)
+        s_mm = s.astype(mm_dtype).reshape(r * wdt, c)
+    else:
+        # linear mode: the conv input IS the saved x; da is the transpose
+        # conv itself and the norm reductions are dead outputs
+        s_mm = x_ref[0].astype(mm_dtype).reshape(r * wdt, c)
     gpad = _g_pad(gp_ref, gc_ref, gn_ref, r, wdt, o, top_live, bot_live,
                   mm_dtype)
 
@@ -1170,10 +1176,13 @@ def _gnsc_bwd_kernel_a(*refs, n: int, eps: float, n_tiles: int,
             res_mm, gc_ref[0].astype(mm_dtype).reshape(r * wdt, o),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    da = ds * dsilu.reshape(r * wdt, c)
-    dgamma_ref[pl.ds(b, 1), :] += jnp.sum(
-        da * xhat.reshape(r * wdt, c), axis=0, keepdims=True)
-    dbeta_ref[pl.ds(b, 1), :] += jnp.sum(da, axis=0, keepdims=True)
+    if act:
+        da = ds * dsilu.reshape(r * wdt, c)
+        dgamma_ref[pl.ds(b, 1), :] += jnp.sum(
+            da * xhat.reshape(r * wdt, c), axis=0, keepdims=True)
+        dbeta_ref[pl.ds(b, 1), :] += jnp.sum(da, axis=0, keepdims=True)
+    else:
+        da = ds
     da_ref[0] = da.reshape(r, wdt, c).astype(da_ref.dtype)
 
 
@@ -1245,7 +1254,7 @@ def _dx_from_da(x, da, gamma, dgamma, dbeta, sums, sumsq, gmat, n, eps):
 
 def _bwd_phase_a(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
                  residual=None, res_mode="none",
-                 gmat_arr=None, n_full=None):
+                 gmat_arr=None, n_full=None, act=True):
     """Phase-A pallas_call: returns (dw9, db, dgamma, dbeta, da [, dskw]).
     gmat_arr/n_full: paired-lane plumbing (block-diag group matrix and the
     true per-channel pixel count)."""
@@ -1306,7 +1315,7 @@ def _bwd_phase_a(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
     cp = _compiler_params(r, wdt, c + o)
     return pl.pallas_call(
         functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
-                          has_res=has_res),
+                          has_res=has_res, act=act),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1716,7 +1725,9 @@ def _blockp_fwd(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
     c = c2 // 2
     saved = None
     if _use_pallas(xp):
-        stats_u = None
+        # saved doubles as the "forward ran the pallas path" marker the
+        # backward gate needs (zero-size placeholders in linear mode)
+        stats_u = (jnp.zeros((0,), jnp.float32),) * 2
         if act:
             if has_stats:
                 stats_u = (sums_in, sumsq_in)
@@ -1775,41 +1786,60 @@ def _blockp_bwd(num_groups, eps, splits, res_splits, res_mode, emit_stats,
                 has_bias, has_skip_b, has_stats, act, residuals, g):
     (xp, gamma, beta, w, bias, residual, skip_w, skip_b,
      sums_in, sumsq_in, saved) = residuals
-    gp = g[0] if emit_stats else g  # stats cotangents are zero by chaining
-    if (saved is not None and act and bwd_kernel_enabled() and not emit_stats
+    # emitted stats receive structurally-zero cotangents in this framework
+    # (every consumer's custom VJP zeroes its chained-stats inputs — the
+    # statistical dependence on x is already inside the dx identities), so
+    # the kernel backward ignores g[1:] when emit_stats
+    gp = g[0] if emit_stats else g
+    if (saved is not None and bwd_kernel_enabled()
             and res_mode in ("none", "identity", "identity_up", "proj")):
         b, h, w2, c2 = xp.shape
         c = c2 // 2
         o = w.shape[-1]
         n = h * w2 * 2
+        if act:
+            gamma_p = _dual_vec(gamma, splits)
+            beta_p = _dual_vec(beta, splits)
+            sums_p = _dual_vec(saved[0], splits)
+            sumsq_p = _dual_vec(saved[1], splits)
+            gmat_p = jnp.asarray(_pair_gmat_split(num_groups, c, splits))
+        else:
+            zv = jnp.zeros((b, c2), jnp.float32)
+            gamma_p = beta_p = sums_p = sumsq_p = zv
+            gmat_p = jnp.zeros((c2, c2), jnp.float32)
         outs = _bwd_phase_a(
-            xp, _dual_vec(gamma, splits), _dual_vec(beta, splits),
+            xp, gamma_p, beta_p,
             _pair_weights_split(w, splits),
-            _dual_vec(saved[0], splits), _dual_vec(saved[1], splits),
+            sums_p, sumsq_p,
             gp, num_groups, eps,
             residual=residual if res_mode == "proj" else None,
             res_mode="proj" if res_mode == "proj" else "none",
-            gmat_arr=jnp.asarray(_pair_gmat_split(num_groups, c, splits)),
-            n_full=n)
+            gmat_arr=gmat_p, n_full=n, act=act)
         dw_p9, db2, dgamma2, dbeta2, da_p = outs[:5]
-        dgamma = _fold_stats(dgamma2, splits)
-        dbeta = _fold_stats(dbeta2, splits)
         db2 = db2.reshape(2 * o)
         dbias = db2[:o] + db2[o:]
         dw = _fold_dw(dw_p9, c, o, splits).astype(w.dtype)
-        # dx stays PAIRED: per-original-channel coefficients, dual_vec'd,
-        # applied elementwise to the paired da/x — no relayout anywhere
-        gmat = jnp.asarray(_group_matrix(num_groups, c))
-        mean, rstd = _mean_rstd(saved[0], saved[1], gmat, n, eps)
-        m1 = _gc(gamma * dbeta / n, gmat)
-        m2 = _gc(gamma * dgamma / n, gmat)
+        if act:
+            dgamma = _fold_stats(dgamma2, splits)
+            dbeta = _fold_stats(dbeta2, splits)
+            # dx stays PAIRED: per-original-channel coefficients,
+            # dual_vec'd, applied elementwise to the paired da/x
+            gmat = jnp.asarray(_group_matrix(num_groups, c))
+            mean, rstd = _mean_rstd(saved[0], saved[1], gmat, n, eps)
+            m1 = _gc(gamma * dbeta / n, gmat)
+            m2 = _gc(gamma * dgamma / n, gmat)
 
-        def dv(vec):
-            return _dual_vec(vec, splits)[:, None, None, :]
+            def dv(vec):
+                return _dual_vec(vec, splits)[:, None, None, :]
 
-        dx = (da_p.astype(jnp.float32) * dv(rstd * gamma)
-              - (xp.astype(jnp.float32) - dv(mean)) * dv(rstd * rstd * m2)
-              - dv(rstd * m1)).astype(xp.dtype)
+            dx = (da_p.astype(jnp.float32) * dv(rstd * gamma)
+                  - (xp.astype(jnp.float32) - dv(mean))
+                  * dv(rstd * rstd * m2)
+                  - dv(rstd * m1)).astype(xp.dtype)
+        else:
+            # linear conv: da IS the input cotangent
+            dgamma, dbeta = jnp.zeros_like(gamma), jnp.zeros_like(beta)
+            dx = da_p.astype(xp.dtype)
         dres = jnp.zeros_like(residual)
         dskw = jnp.zeros_like(skip_w)
         dskb = jnp.zeros_like(skip_b)
@@ -1999,10 +2029,12 @@ def fused_up_paired(x, gamma, beta, w, bias, num_groups, eps, stats_in,
 
 def _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in,
                  has_stats, emit_stats):
+    saved = None
     if _use_pallas(x) and x.shape[2] % 16 == 0:
+        saved = (tuple(stats_in) if has_stats
+                 else tuple(_compute_stats_4d(x)))
         out = _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
-                                   stats=tuple(stats_in) if has_stats
-                                   else None, emit_stats=emit_stats)
+                                   stats=saved, emit_stats=emit_stats)
         if emit_stats:
             o = w.shape[-1]
             outp, os_, osq = out
@@ -2014,11 +2046,19 @@ def _up_pair_fwd(x, gamma, beta, w, bias, num_groups, eps, stats_in,
         if emit_stats:
             osums, osumsq = _out_stats_reference(y)
             out = (out, osums, osumsq)
-    return out, (x, gamma, beta, w, bias, stats_in)
+    return out, (x, gamma, beta, w, bias, stats_in, saved)
 
 
 def _up_pair_bwd(num_groups, eps, has_stats, emit_stats, residuals, g):
-    x, gamma, beta, w, bias, stats_in = residuals
+    x, gamma, beta, w, bias, stats_in, saved = residuals
+    if saved is not None and bwd_kernel_enabled():
+        # emitted stats carry structurally-zero cotangents (see _blockp_bwd)
+        gp = g[0] if emit_stats else g
+        dx, dgamma, dbeta, dw, dbias = _pallas_up_pair_bwd(
+            x, gamma, beta, w, saved[0], saved[1], gp, num_groups, eps)
+        return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+                dw, dbias.astype(bias.dtype),
+                jax.tree_util.tree_map(jnp.zeros_like, stats_in))
 
     def f(x, gamma, beta, w, bias):
         y = gn_silu_up_conv_reference(x, gamma, beta, w, bias, num_groups,
@@ -2059,6 +2099,55 @@ def _apply4_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
     out_ref[0] = (y * jax.nn.sigmoid(y)).astype(out_ref.dtype)
 
 
+def _grad_stats4_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
+                        gmat_ref, g_ref, dgamma_ref, dbeta_ref, s1_ref,
+                        s2_ref, *, n: int, eps: float):
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, w2, c2 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    x = x_ref[0].astype(jnp.float32).reshape(r * w2, c2)
+    g = g_ref[0].astype(jnp.float32).reshape(r * w2, c2)
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = gamma_ref[pl.ds(b, 1), :]
+    xhat = (x - mean) * rstd
+    y = xhat * gamma + beta_ref[pl.ds(b, 1), :]
+    sig = jax.nn.sigmoid(y)
+    dy = g * sig * (1.0 + y * (1.0 - sig))
+    dxhat = dy * gamma
+
+    @pl.when(t == 0)
+    def _():
+        for ref in (dgamma_ref, dbeta_ref, s1_ref, s2_ref):
+            ref[pl.ds(b, 1), :] = jnp.zeros_like(ref[pl.ds(b, 1), :])
+
+    dgamma_ref[pl.ds(b, 1), :] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta_ref[pl.ds(b, 1), :] += jnp.sum(dy, axis=0, keepdims=True)
+    s1_ref[pl.ds(b, 1), :] += jnp.sum(dxhat, axis=0, keepdims=True)
+    s2_ref[pl.ds(b, 1), :] += jnp.sum(dxhat * xhat, axis=0, keepdims=True)
+
+
+def _grad_apply4_kernel(x_ref, gamma_ref, beta_ref, sums_ref, sumsq_ref,
+                        gmat_ref, g_ref, s1_ref, s2_ref, dx_ref,
+                        *, n: int, eps: float):
+    b = pl.program_id(0)
+    r, w2, c2 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    x = x_ref[0].astype(jnp.float32).reshape(r * w2, c2)
+    g = g_ref[0].astype(jnp.float32).reshape(r * w2, c2)
+    gmat = gmat_ref[:]
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat, n, eps)
+    gamma = gamma_ref[pl.ds(b, 1), :]
+    xhat = (x - mean) * rstd
+    y = xhat * gamma + beta_ref[pl.ds(b, 1), :]
+    sig = jax.nn.sigmoid(y)
+    dy = g * sig * (1.0 + y * (1.0 - sig))
+    dxhat = dy * gamma
+    m1 = _gc(s1_ref[pl.ds(b, 1), :] / n, gmat)
+    m2 = _gc(s2_ref[pl.ds(b, 1), :] / n, gmat)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = dx.reshape(r, w2, c2).astype(dx_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_gn_silu_paired(xp, gamma, beta, sums_in, sumsq_in,
                          num_groups, eps, splits, has_stats):
@@ -2076,12 +2165,14 @@ def _gnsp_fwd(xp, gamma, beta, sums_in, sumsq_in, num_groups, eps, splits,
               has_stats):
     b, h, w2, c2 = xp.shape
     c = c2 // 2
+    saved = None
     if _use_pallas(xp):
         if has_stats:
             stats = (sums_in, sumsq_in)
         else:
             sp, ssp = _compute_stats_4d(xp)
             stats = (_fold_stats(sp, splits), _fold_stats(ssp, splits))
+        saved = stats
         r = _row_tile(h, xp.dtype, wdt=w2, c=c2,
                       cands=(128, 64, 32, 16, 8))
         x_spec = pl.BlockSpec((1, r, w2, c2), lambda i, t: (i, t, 0, 0),
@@ -2108,11 +2199,55 @@ def _gnsp_fwd(xp, gamma, beta, sums_in, sumsq_in, num_groups, eps, splits,
             x.reshape(b_, hh * ww, cc), gamma, beta, num_groups,
             eps).reshape(x.shape).astype(xp.dtype)
         out = pair_array(out, splits)
-    return out, (xp, gamma, beta, sums_in, sumsq_in)
+    return out, (xp, gamma, beta, sums_in, sumsq_in, saved)
 
 
 def _gnsp_bwd(num_groups, eps, splits, has_stats, residuals, g):
-    xp, gamma, beta, sums_in, sumsq_in = residuals
+    xp, gamma, beta, sums_in, sumsq_in, saved = residuals
+    if saved is not None and bwd_kernel_enabled():
+        # hand-written paired backward: grad-stats accumulates per-paired-
+        # channel reductions, folded to full channels between the calls
+        # (the grad-apply group reductions need FULL-channel sums)
+        b, h, w2, c2 = xp.shape
+        c = c2 // 2
+        n = h * w2 * 2
+        r = _row_tile(h, xp.dtype, wdt=w2, c=c2,
+                      cands=(128, 64, 32, 16, 8))
+        gamma_p = _dual_vec(gamma, splits)
+        beta_p = _dual_vec(beta, splits)
+        sums_p = _dual_vec(saved[0], splits)
+        sumsq_p = _dual_vec(saved[1], splits)
+        gmat_p = jnp.asarray(_pair_gmat_split(num_groups, c, splits))
+        x_spec = pl.BlockSpec((1, r, w2, c2), lambda i, t: (i, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+        vec_spec = pl.BlockSpec((b, c2), lambda i, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((c2, c2), lambda i, t: (0, 0),
+                                memory_space=pltpu.VMEM)
+        cp = _compiler_params(r, w2, c2)
+        dgamma2, dbeta2, s1_2, s2_2 = pl.pallas_call(
+            functools.partial(_grad_stats4_kernel, n=n, eps=eps),
+            grid=(b, h // r),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec, x_spec],
+            out_specs=[vec_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((b, c2), jnp.float32)] * 4,
+            compiler_params=cp,
+        )(xp, gamma_p, beta_p, sums_p, sumsq_p, gmat_p, g)
+        s1 = _dual_vec(_fold_stats(s1_2, splits), splits)
+        s2 = _dual_vec(_fold_stats(s2_2, splits), splits)
+        dx = pl.pallas_call(
+            functools.partial(_grad_apply4_kernel, n=n, eps=eps),
+            grid=(b, h // r),
+            in_specs=[x_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                      mat_spec, x_spec, vec_spec, vec_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            compiler_params=cp,
+        )(xp, gamma_p, beta_p, sums_p, sumsq_p, gmat_p, g, s1, s2)
+        return (dx, _fold_stats(dgamma2, splits).astype(gamma.dtype),
+                _fold_stats(dbeta2, splits).astype(beta.dtype),
+                jnp.zeros_like(sums_in), jnp.zeros_like(sumsq_in))
 
     def f(xp, gamma, beta):
         x = unpair_array(xp, splits)
@@ -2128,3 +2263,154 @@ def _gnsp_bwd(num_groups, eps, splits, has_stats, residuals, g):
 
 
 fused_gn_silu_paired.defvjp(_gnsp_fwd, _gnsp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written backward for the paired up kernel
+# ---------------------------------------------------------------------------
+#
+# Backward of out = conv3x3_pair(up2x(silu(gn(x)))) without ever
+# materializing the upsampled activation: one kernel recomputes the
+# upsampled strip from the LOW-res x (exactly like the forward), runs the
+# mirrored transpose-conv taps against the high-res cotangent, accumulates
+# dW/dbias, and emits the CHANNEL-FOLDED pre-pool cotangent (parities of a
+# pair are W-copies of the same low pixel, so their cotangents add — a lane
+# fold in VMEM). Rows then fold in XLA via a layout-free major-dim split,
+# and the GroupNorm/SiLU backward runs as one cheap low-res elementwise
+# pass.
+
+
+def _up_pair_bwd_kernel(gp_ref, gc_ref, gn_ref, xp_ref, xc_ref, xn_ref,
+                        gamma_ref, beta_ref, sums_ref, sumsq_ref, gmat_ref,
+                        wt_ref, dw_ref, db_ref, ds_ref,
+                        *, n: int, eps: float, n_tiles: int):
+    b, t = pl.program_id(0), pl.program_id(1)
+    r, wl, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    c2, o2 = 2 * c, gc_ref.shape[-1]
+    r2 = 2 * r
+    mean, rstd = _mean_rstd(sums_ref[pl.ds(b, 1), :],
+                            sumsq_ref[pl.ds(b, 1), :], gmat_ref[:], n, eps)
+    gamma = (gamma_ref[pl.ds(b, 1), :] * rstd).reshape(1, 1, c)
+    beta = (beta_ref[pl.ds(b, 1), :]
+            - gamma_ref[pl.ds(b, 1), :] * rstd * mean).reshape(1, 1, c)
+    top_live = (t > 0).astype(jnp.float32)
+    bot_live = (t < n_tiles - 1).astype(jnp.float32)
+    mm_dtype = xc_ref.dtype
+
+    def ns(v, live=None):
+        y = v.astype(jnp.float32) * gamma + beta
+        y = y * jax.nn.sigmoid(y)
+        if live is not None:
+            y = y * live
+        return y.astype(mm_dtype)
+
+    def pair2(y):
+        return jnp.concatenate([y, y], axis=-1)
+
+    # the same upsampled padded strip the forward builds
+    mid_up = jnp.repeat(pair2(ns(xc_ref[0])), 2, axis=0)
+    spad = jnp.concatenate([pair2(ns(xp_ref[0], top_live)), mid_up,
+                            pair2(ns(xn_ref[0], bot_live))], axis=0)
+    zcol_s = jnp.zeros((r2 + 2, 1, c2), mm_dtype)
+    spad = jnp.concatenate([zcol_s, spad, zcol_s], axis=1)
+    # zero-padded cotangent strip (halo rows zeroed at the image edges)
+    gpad = _g_pad(gp_ref, gc_ref, gn_ref, r2, wl, o2, top_live, bot_live,
+                  mm_dtype)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    s_c = jax.lax.slice(spad, (1, 1, 0), (1 + r2, 1 + wl, c2))
+    s_mm = s_c.reshape(r2 * wl, c2)
+    ds = jnp.zeros((r2 * wl, c2), jnp.float32)
+    for dr in range(3):
+        for dj in range(3):
+            gs = jax.lax.slice(gpad, (2 - dr, 2 - dj, 0),
+                               (2 - dr + r2, 2 - dj + wl, o2))
+            gs = gs.reshape(r2 * wl, o2)
+            dw_ref[pl.ds((dr * 3 + dj) * c2, c2), :] += jax.lax.dot_general(
+                s_mm, gs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = ds + jax.lax.dot_general(
+                gs, wt_ref[pl.ds((dr * 3 + dj) * o2, o2), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(gc_ref[0].astype(jnp.float32).reshape(r2 * wl, o2),
+                         axis=0, keepdims=True)
+    # lane fold: a pair's two parities are W-copies of the same low pixel
+    ds = ds.reshape(r2, wl, c2)
+    ds_f = (jax.lax.slice(ds, (0, 0, 0), (r2, wl, c))
+            + jax.lax.slice(ds, (0, 0, c), (r2, wl, c2)))
+    ds_ref[0] = ds_f.astype(ds_ref.dtype)
+
+
+def _pallas_up_pair_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps):
+    """x: UNPAIRED low-res (B, Hl, Wl, C); g: PAIRED high-res cotangent
+    (B, 2Hl, Wl, 2O). Returns (dx, dgamma, dbeta, dw, dbias)."""
+    b, hl, wl, c = x.shape
+    o = w.shape[-1]
+    n = hl * wl
+    r = _row_tile(hl, x.dtype, wdt=2 * wl, c=max(2 * c, 2 * o))
+    n_tiles = hl // r
+    gmat = jnp.asarray(_group_matrix(num_groups, c))
+    w_p = _pair_weights(w).astype(x.dtype)
+    wt = jnp.transpose(w_p, (0, 1, 3, 2)).reshape(9 * 2 * o, 2 * c)
+    x_prev, x_next = _halo_rows(x, r)
+    g_prev, g_next = _halo_rows(g, 2 * r)
+
+    def blk(rows, ci):
+        return pl.BlockSpec((1, rows, wl, ci), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def halo(ci, lo):
+        return (pl.BlockSpec((1, 1, wl, ci),
+                             lambda i, t: (i, jnp.maximum(t - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, wl, ci),
+                             lambda i, t: (i, jnp.minimum(t + 1, lo), 0, 0),
+                             memory_space=pltpu.VMEM))
+
+    def cvec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    gp, gn_ = halo(2 * o, n_tiles - 1)
+    xp_, xn_ = halo(c, n_tiles - 1)
+    dw9, db, ds = pl.pallas_call(
+        functools.partial(_up_pair_bwd_kernel, n=n, eps=eps,
+                          n_tiles=n_tiles),
+        grid=(b, n_tiles),
+        in_specs=[gp, blk(2 * r, 2 * o), gn_, xp_, blk(r, c), xn_,
+                  cvec(b, c), cvec(b, c), cvec(b, c), cvec(b, c),
+                  cvec(c, c), cvec(9 * 2 * o, 2 * c)],
+        out_specs=[cvec(9 * 2 * c, 2 * o), cvec(1, 2 * o),
+                   blk(2 * r, c)],
+        out_shape=[jax.ShapeDtypeStruct((9 * 2 * c, 2 * o), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2 * o), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 2 * hl, wl, c), jnp.float32)],
+        compiler_params=_compiler_params(2 * r, wl, 2 * max(c, o)),
+    )(g_prev, g, g_next, x_prev, x, x_next, gamma, beta, sums, sumsq, gmat,
+      wt)
+
+    # rows fold via a layout-free major-dim split; then ONE low-res
+    # elementwise pass for the SiLU/GroupNorm backward
+    ds_low = ds.reshape(b, hl, 2, wl, c).sum(axis=2)
+    mean, rstd = _mean_rstd(sums, sumsq, gmat, n, eps)
+    x32 = x.astype(jnp.float32)
+    xhat = (x32 - mean[:, None, None, :]) * rstd[:, None, None, :]
+    a = xhat * gamma[:, None, None, :] + beta[:, None, None, :]
+    sig = jax.nn.sigmoid(a)
+    da = ds_low * (sig * (1.0 + a * (1.0 - sig)))
+    dgamma = jnp.sum(da * xhat, axis=(1, 2))
+    dbeta = jnp.sum(da, axis=(1, 2))
+    m1 = _gc(gamma * dbeta / n, gmat)
+    m2 = _gc(gamma * dgamma / n, gmat)
+    dx = (da * (rstd * gamma)[:, None, None, :]
+          - (x32 - mean[:, None, None, :])
+          * (rstd * rstd * m2)[:, None, None, :]
+          - (rstd * m1)[:, None, None, :]).astype(x.dtype)
+    db2 = db.reshape(2 * o)
+    dbias = db2[:o] + db2[o:]
+    dw = _fold_dw(dw9, c, o, None).astype(w.dtype)
+    return dx, dgamma, dbeta, dw, dbias

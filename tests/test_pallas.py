@@ -1355,3 +1355,74 @@ class TestPairedIO:
             fnc.pair_array(downsample2x_mean(x)) * cot))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_paired_train_backwards_interpret(self, monkeypatch):
+        """The pairio-train hand-written backwards (paired 4D norm, linear
+        conv phase A, up kernel, emitting block) vs reference autodiff."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+        from m_cedm_tpu.pallas.fused_norm import group_norm_silu_reference
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(5)
+        B_, H, W_, C_, O = 2, 32, 16, 32, 32
+
+        def arr(*s):
+            return jnp.asarray(rs.randn(*s).astype(np.float32))
+
+        x = arr(B_, H, W_, C_)
+        gamma = 1 + 0.1 * arr(B_, C_)
+        beta = 0.1 * arr(B_, C_)
+        w = 0.1 * arr(3, 3, C_, O)
+        bias = 0.1 * arr(O)
+        xp = fnc.pair_array(x)
+        zc = jnp.zeros((0,), jnp.float32)
+        cot = arr(B_, H, W_ // 2, 2 * C_)
+
+        def cmp_grads(f_k, f_r, args, names, tol=2e-3):
+            idx = tuple(range(len(args)))
+            gk = jax.grad(f_k, argnums=idx)(*args)
+            gr = jax.grad(f_r, argnums=idx)(*args)
+            for nm, a, b_ in zip(names, gk, gr):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           rtol=tol, atol=2e-4, err_msg=nm)
+
+        # paired 4D norm backward (saved-stats kernel path)
+        cmp_grads(
+            lambda xp, g_, b_: jnp.sum(fnc.fused_gn_silu_paired(
+                xp, g_, b_, zc, zc, G, 1e-5, None, False) * cot),
+            lambda xp, g_, b_: jnp.sum(fnc.pair_array(
+                group_norm_silu_reference(
+                    fnc.unpair_array(xp).reshape(B_, H * W_, C_), g_, b_,
+                    G).reshape(B_, H, W_, C_)) * cot),
+            (xp, gamma, beta), ("dx", "dgamma", "dbeta"))
+
+        # linear conv backward (act=False phase A)
+        cot_o = arr(B_, H, W_ // 2, 2 * O)
+        cmp_grads(
+            lambda xp, w_, b_: jnp.sum(fnc.fused_block_paired(
+                xp, None, None, w_, b_, G, act=False) * cot_o),
+            lambda xp, w_, b_: jnp.sum(fnc.pair_array(
+                fnc.conv3x3_same_reference(fnc.unpair_array(xp), w_, b_))
+                * cot_o),
+            (xp, w, bias), ("dx", "dw", "dbias"))
+
+        # emitting block backward (kernel path; stats outputs unconsumed)
+        cmp_grads(
+            lambda xp, g_, b_, w_, bi: jnp.sum(fnc.fused_block_paired(
+                xp, g_, b_, w_, bi, G, emit_stats=True)[0] * cot_o),
+            lambda xp, g_, b_, w_, bi: jnp.sum(fnc.pair_array(
+                fnc.gn_silu_conv_reference(fnc.unpair_array(xp), g_, b_,
+                                           w_, bi, G)) * cot_o),
+            (xp, gamma, beta, w, bias),
+            ("dx", "dgamma", "dbeta", "dw", "dbias"))
+
+        # up-kernel backward (hand-written phase A + layout-free folds)
+        cot_up = arr(B_, 2 * H, W_, 2 * O)
+        cmp_grads(
+            lambda x, g_, b_, w_, bi: jnp.sum(fnc.fused_up_paired(
+                x, g_, b_, w_, bi, G, 1e-5, (zc, zc), False) * cot_up),
+            lambda x, g_, b_, w_, bi: jnp.sum(fnc.pair_array(
+                fnc.gn_silu_up_conv_reference(x, g_, b_, w_, bi, G))
+                * cot_up),
+            (x, gamma, beta, w, bias),
+            ("dx", "dgamma", "dbeta", "dw", "dbias"))

@@ -69,8 +69,10 @@ def main():
         fusion = mode
         os.environ["MCEDM_PAIRIO"] = "0"
         os.environ.pop("MCEDM_PAIR", None)
+        os.environ.pop("MCEDM_PAIRIO_TRAIN", None)
         if fusion.endswith("+pairio"):
             os.environ["MCEDM_PAIRIO"] = "1"
+            os.environ["MCEDM_PAIRIO_TRAIN"] = "1"
             fusion = fusion[:-len("+pairio")]
         elif fusion.endswith("+pair"):
             os.environ["MCEDM_PAIR"] = "1"
