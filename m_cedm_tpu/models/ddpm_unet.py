@@ -18,6 +18,7 @@ import dataclasses
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from m_cedm_tpu.models.layers import (
@@ -86,18 +87,46 @@ class DdpmUNetConfig:
         return c
 
 
+def ddpm_pair_enabled() -> bool:
+    """MCEDM_DDPM_PAIR gates the paired-kernel DDPM ResnetBlock (default
+    ON: same-session 50-step DDIM joint-sampler A/B, B=16 res128 bf16:
+    679.6 -> 553.7 ms, 1.227x, 28.9 samples/s). The round-2 UNPAIRED
+    kernels were a measured net loss for this net (5.97 samples/s pure-XLA
+    vs 5.46 with kernels) — the paired layout reverses the verdict.
+    MCEDM_DDPM_PAIR=0 restores pure XLA."""
+    import os
+
+    return os.environ.get("MCEDM_DDPM_PAIR", "1") != "0"
+
+
 class ResnetBlock(nn.Module):
-    """Measured note: the Pallas kernels (fused norm, fused norm+conv) are a
-    net LOSS for this net on the current backend (ddim joint sampling 5.97
-    samples/s pure-XLA vs 5.46 with kernels at the res-128 bench shape), so
-    the DDPM family runs pure XLA (use_kernel=False); the ADM net keeps the
-    kernels, where they measure a 1.3x sampling win."""
+    """DDPM residual block. Default: the PAIRED fused kernels (two paired
+    norm+conv kernels + one fused temb add with chained adjusted stats —
+    see ddpm_pair_enabled; measured 1.227x on the joint DDIM sampler).
+    The round-2 UNPAIRED kernels were a measured net loss (5.97 samples/s
+    pure-XLA vs 5.46), which the paired layout reverses; MCEDM_DDPM_PAIR=0
+    restores the pure-XLA composition below."""
     out_channels: int
     dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
+        c = self.out_channels
+        from m_cedm_tpu.pallas.fused_norm_conv import _use_pallas
+
+        # kernel path ONLY: the chained ADJUSTED statistics must be
+        # honored by the consumer, which the reference fallback (used on
+        # CPU) cannot do (it recomputes stats from its input) — fall back
+        # to the plain composition whenever the kernels wouldn't run
+        use_pair = (ddpm_pair_enabled() and x.shape[2] % 16 == 0
+                    and in_ch % 8 == 0 and c % 8 == 0
+                    and (self.dropout == 0 or deterministic)
+                    and _use_pallas(jax.ShapeDtypeStruct(
+                        (x.shape[0], x.shape[1], x.shape[2] // 2,
+                         2 * in_ch), x.dtype)))
+        if use_pair:
+            return self._paired(x, temb)
         h = GroupNormSiLU(32, eps=1e-6, use_kernel=False, name="norm1")(x)
         h = TorchConv2d(self.out_channels, kernel=3, name="conv1")(h)
         h = h + TorchLinear(self.out_channels, name="temb_proj")(nn.silu(temb))[:, None, None, :]
@@ -108,6 +137,54 @@ class ResnetBlock(nn.Module):
         if in_ch != self.out_channels:
             x = TorchConv2d(self.out_channels, kernel=1, name="nin_shortcut")(x)
         return x + h
+
+    def _paired(self, x, temb):
+        """Whole block as two paired kernels plus one fused add. The temb
+        add happens on the PAIRED activation, and the second kernel's
+        statistics come adjusted from the first kernel's emitted stats
+        (sums' = sums + N t; sumsq' = sumsq + 2 t sums + N t^2 — exact
+        stats of h + t), so no stats pass ever reads the full-res tensor.
+        Module/param names match the unpaired path (checkpoint-compatible).
+        """
+        from m_cedm_tpu.pallas.fused_norm_conv import (
+            fused_block_paired, pair_array, unpair_array)
+
+        in_ch = x.shape[-1]
+        c = self.out_channels
+        b, hh, ww, _ = x.shape
+        npix = hh * ww
+        eps = 1e-6
+        probe_in = jnp.zeros((b, 1, 1, in_ch), x.dtype)
+        probe_c = jnp.zeros((b, 1, 1, c), x.dtype)
+        g1, b1 = GroupNormSiLU(32, eps=eps, use_kernel=False,
+                               name="norm1")(probe_in, fold_only=True)
+        w1, bias1 = TorchConv2d(c, kernel=3, name="conv1")(
+            probe_in, params_only=True)
+        t = TorchLinear(c, name="temb_proj")(nn.silu(temb)).astype(
+            jnp.float32)
+        g2, b2 = GroupNormSiLU(32, eps=eps, use_kernel=False,
+                               name="norm2")(probe_c, fold_only=True)
+        w2, bias2 = TorchConv2d(c, kernel=3, name="conv2")(
+            probe_c, params_only=True)
+        skw = skb = None
+        if in_ch != c:
+            skw, skb = TorchConv2d(c, kernel=1, name="nin_shortcut")(
+                probe_in, params_only=True)
+
+        xp = pair_array(x)
+        h, hs, hss = fused_block_paired(xp, g1, b1, w1, bias1, 32, eps,
+                                        emit_stats=True)
+        t_pair = jnp.concatenate([t, t], axis=-1)
+        h = h + t_pair[:, None, None, :].astype(h.dtype)
+        # exact (pre-rounding) channel stats of h + t — the chained-stats
+        # convention stays valid because they are a deterministic function
+        # of the consumer's input
+        sums_t = hs + npix * t
+        sumsq_t = hss + 2.0 * t * hs + npix * t * t
+        out = fused_block_paired(h, g2, b2, w2, bias2, 32, eps,
+                                 residual=xp, skip_w=skw, skip_b=skb,
+                                 stats=(sums_t, sumsq_t))
+        return unpair_array(out)
 
 
 class AttnBlock(nn.Module):

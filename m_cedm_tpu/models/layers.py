@@ -498,7 +498,7 @@ class TorchConv2d(nn.Module):
     padding_mode: str = "zeros"  # or 'circular'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
         in_ch = x.shape[-1]
         k = self.kernel
         fan_in = in_ch * k * k
@@ -507,6 +507,16 @@ class TorchConv2d(nn.Module):
             "kernel",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound_w, bound_w),
             (k, k, in_ch, self.features))
+        if params_only:
+            # hand the params to a fused-kernel consumer (paired DDPM block)
+            bound_b = 1.0 / math.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound_b, bound_b),
+                (self.features,)) if self.use_bias else None
+            return (kernel.reshape(in_ch, self.features) if k == 1
+                    else kernel), bias
         if self.padding == "same_torch":
             pad = k // 2
             padding = [(pad, pad), (pad, pad)]

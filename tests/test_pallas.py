@@ -1426,3 +1426,74 @@ class TestPairedIO:
                 * cot_up),
             (x, gamma, beta, w, bias),
             ("dx", "dgamma", "dbeta", "dw", "dbias"))
+
+
+class TestDdpmPaired:
+    """Paired DDPM ResnetBlock (MCEDM_DDPM_PAIR): the temb-add folds into
+    adjusted stats + effective beta — valid ONLY on the kernel path (the
+    reference fallback recomputes stats from h), so these tests force the
+    kernels in interpret mode."""
+
+    def _force(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+        pl = pytest.importorskip("jax.experimental.pallas")
+
+        orig_call = pl.pallas_call
+        wrapped = lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+        monkeypatch.setattr(pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fnc.pl, "pallas_call", wrapped)
+        monkeypatch.setattr(fn, "pallas_enabled", lambda: True)
+        monkeypatch.setattr(fnc, "pallas_enabled", lambda: True)
+        monkeypatch.setenv("MCEDM_PAIR", "1")
+
+    @pytest.mark.parametrize("in_ch,out_ch", [(64, 64), (32, 64)])
+    def test_block_toggle_matches(self, in_ch, out_ch, monkeypatch):
+        from m_cedm_tpu.models.ddpm_unet import ResnetBlock
+
+        self._force(monkeypatch)
+        rs = np.random.RandomState(7)
+        x = jnp.asarray(rs.randn(2, 16, 16, in_ch).astype(np.float32))
+        temb = jnp.asarray(rs.randn(2, 128).astype(np.float32))
+        blk = ResnetBlock(out_ch)
+        params = blk.init(jax.random.PRNGKey(0), x, temb)
+        leaves, td = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            td, [0.2 * jax.random.normal(k, l.shape, l.dtype)
+                 for k, l in zip(keys, leaves)])
+        monkeypatch.setenv("MCEDM_DDPM_PAIR", "0")
+        base = np.asarray(blk.apply(params, x, temb))
+        monkeypatch.setenv("MCEDM_DDPM_PAIR", "1")
+        got = np.asarray(blk.apply(params, x, temb))
+        np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
+
+        # gradients through the paired path (reference fallbacks on CPU)
+        def loss(p, flag):
+            monkeypatch.setenv("MCEDM_DDPM_PAIR", flag)
+            return jnp.sum(jnp.sin(blk.apply(p, x, temb)))
+
+        g0 = jax.grad(lambda p: loss(p, "0"))(params)
+        g1 = jax.grad(lambda p: loss(p, "1"))(params)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_net_toggle_matches(self, monkeypatch):
+        from m_cedm_tpu.models.ddpm_unet import DdpmUNet, DdpmUNetConfig
+
+        self._force(monkeypatch)
+        cfg = DdpmUNetConfig(in_channels=2, out_ch=2, ch=32, ch_mult=(1, 1),
+                             num_res_blocks=1, attn_resolutions=(16,),
+                             resolution=32)
+        net = DdpmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([3, 7], jnp.int32)
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        monkeypatch.setenv("MCEDM_DDPM_PAIR", "0")
+        base = np.asarray(net.apply(params, x, t))
+        monkeypatch.setenv("MCEDM_DDPM_PAIR", "1")
+        got = np.asarray(net.apply(params, x, t))
+        np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
