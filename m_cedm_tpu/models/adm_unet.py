@@ -36,6 +36,36 @@ from m_cedm_tpu.ops.schedules import fourier_positional_embedding
 def _adm_groups(c: int) -> int:
     return min(32, c // 4)
 
+
+def _pairio_concats_aligned(cfg) -> bool:
+    """True iff every decoder skip-concat's GroupNorm groups align with the
+    concat boundary: c1 % ((c1 + c2) // groups) == 0 for each concat of a
+    c1-channel decoder stream with a c2-channel encoder skip.
+
+    The paired (dual-order) kernels slice a block-diagonal group matrix at
+    the boundary (_pair_gmat_split) and stack the halves' chained stats —
+    both silently compute wrong statistics when a group straddles it (e.g.
+    ch_mult [1,2,2,2]: a 192-channel concat with 32 groups has per=6 and
+    c1=128 not divisible by 6). Shipped configs (ch_mult [1,1,1]) are
+    aligned; anything else falls back to the unpaired path."""
+    ch = cfg.ch
+    skips = [ch * cfg.ch_mult[0]]
+    cout = skips[0]
+    for level, mult in enumerate(cfg.ch_mult):
+        if level > 0:
+            skips.append(cout)  # down block keeps channel count
+        for _ in range(cfg.num_res_blocks):
+            cout = ch * mult
+            skips.append(cout)
+    for level, mult in reversed(list(enumerate(cfg.ch_mult))):
+        for _ in range(cfg.num_res_blocks + 1):
+            c2 = skips.pop()
+            c = cout + c2
+            if cout % (c // _adm_groups(c)) != 0:
+                return False
+            cout = ch * mult
+    return not skips
+
 INIT = dict(init_mode="kaiming_uniform", init_weight=3 ** -0.5, init_bias=3 ** -0.5)
 INIT_ZERO = dict(init_mode="kaiming_uniform", init_weight=0.0, init_bias=0.0)
 
@@ -384,6 +414,11 @@ class UNetBlock(nn.Module):
                                             gin, eps, splits=splits,
                                             stats=in_stats, emit_stats=True)
             h_stats = (hs, hss)
+            # a concat (dual-order) input with no channel-count change would
+            # add a dual-order residual to a plain-paired output — the proj
+            # path (skw) is the only valid residual for split inputs
+            assert splits is None or skw is not None, (
+                "paired concat input requires a projection residual")
             res_kw = (dict(residual=xp, skip_w=skw, skip_b=skb,
                            res_splits=splits)
                       if skw is not None else dict(residual=xp))
@@ -536,7 +571,8 @@ class AdmUNet(nn.Module):
                       and (not train_trace() or pair_io_train_enabled())
                       and cfg.dropout == 0 and min_res % 16 == 0
                       and not (cfg.cond_channels > 0 and not cfg.cat_cond)
-                      and not (cfg.dx_cond and not cfg.cat_dx))
+                      and not (cfg.dx_cond and not cfg.cat_dx)
+                      and _pairio_concats_aligned(cfg))
 
         def run(blk, x, x2=None, in_stats=None):
             if use_pairio:

@@ -282,9 +282,11 @@ def pair_io_enabled() -> bool:
     every pallas <-> XLA-conv boundary (profiled: ~1.5 GB/call of pure
     relayout traffic at the flagship shape). Default ON for sampling traces
     (same-session 50-step Heun A/B, B=16 res128 bf16: 867.9 -> 642.4 ms,
-    1.351x, 24.9 samples/s); train traces keep the hand-written-backward
-    path (adm_unet gates on train_trace(): pairio's recompute backwards
-    measured 88.4 vs 67.5 ms/step). MCEDM_PAIRIO=0 reverts."""
+    1.351x, 24.9 samples/s). Train traces also thread paired by default —
+    adm_unet additionally gates them on pair_io_train_enabled(), whose
+    hand-written paired backwards measured 61.2 vs 66.8 ms/step (the earlier
+    recompute-backward attempt lost 88.4 vs 67.5 and is gone).
+    MCEDM_PAIRIO=0 reverts both."""
     import os
 
     return os.environ.get("MCEDM_PAIRIO", "1") != "0"

@@ -1846,9 +1846,14 @@ def _blockp_bwd(num_groups, eps, splits, res_splits, res_mode, emit_stats,
         if res_mode == "identity":
             dres = gp.astype(residual.dtype)
         elif res_mode == "identity_up":
-            # each low-res skip cell feeds both rows and both parities
+            # each low-res skip cell feeds both rows and both parities.
+            # Strided ROW slices (g32[:, 0::2]) lower to H-major transpose
+            # copies on this backend (CLAUDE.md audit) — split the major dim
+            # by reshape (layout-free) and index instead.
             g32 = gp.astype(jnp.float32)
-            e = g32[:, 0::2] + g32[:, 1::2]
+            bb, hh = g32.shape[0], g32.shape[1]
+            g4 = g32.reshape(bb, hh // 2, 2, *g32.shape[2:])
+            e = g4[:, :, 0] + g4[:, :, 1]
             dres = (e[..., :o] + e[..., o:]).astype(residual.dtype)
         elif res_mode == "proj":
             skw_p = _pair_skip_split(skip_w, res_splits).astype(xp.dtype)

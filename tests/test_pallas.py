@@ -1427,6 +1427,46 @@ class TestPairedIO:
             (x, gamma, beta, w, bias),
             ("dx", "dgamma", "dbeta", "dw", "dbias"))
 
+    def test_concats_aligned_gate(self):
+        """The pairio gate must reject configs whose decoder concats have
+        GroupNorm groups straddling the concat boundary (the sliced
+        block-diagonal group matrix would silently compute wrong stats)."""
+        from m_cedm_tpu.models.adm_unet import (AdmUNetConfig,
+                                                _pairio_concats_aligned)
+
+        ok = AdmUNetConfig(in_channels=2, out_ch=2, ch=64,
+                           ch_mult=(1, 1, 1), num_res_blocks=2,
+                           attn_resolutions=(16,), resolution=128)
+        assert _pairio_concats_aligned(ok)
+        ok2 = AdmUNetConfig(in_channels=2, out_ch=2, ch=32, ch_mult=(1, 2),
+                            num_res_blocks=1, attn_resolutions=(16,),
+                            resolution=32)
+        assert _pairio_concats_aligned(ok2)
+        # ch=64 ch_mult (1,2): the dec level-1 concat of a 128-ch stream
+        # with a 64-ch skip -> 192 channels, 32 groups, per=6, 128 % 6 != 0
+        bad = AdmUNetConfig(in_channels=2, out_ch=2, ch=64, ch_mult=(1, 2),
+                            num_res_blocks=1, attn_resolutions=(16,),
+                            resolution=32)
+        assert not _pairio_concats_aligned(bad)
+
+    def test_misaligned_config_falls_back_bit_identical(self, monkeypatch):
+        """A group-straddling config must produce identical outputs with
+        MCEDM_PAIRIO on and off (the gate routes it off the paired path)."""
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=64, ch_mult=(1, 2),
+                            num_res_blocks=1, attn_resolutions=(8,),
+                            resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 2))
+        t = jnp.asarray([1.5])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        monkeypatch.setenv("MCEDM_PAIRIO", "0")
+        base = np.asarray(net.apply(params, x, t))
+        monkeypatch.setenv("MCEDM_PAIRIO", "1")
+        got = np.asarray(net.apply(params, x, t))
+        np.testing.assert_array_equal(got, base)
+
 
 class TestDdpmPaired:
     """Paired DDPM ResnetBlock (MCEDM_DDPM_PAIR): the temb-add folds into
