@@ -96,9 +96,15 @@ class OformerTask:
                               max_epochs: Optional[int] = None):
         if steps_per_epoch and max_epochs:
             self.total_steps = steps_per_epoch * max_epochs
-            sched = optax.cosine_onecycle_schedule(
-                transition_steps=self.total_steps, peak_value=self.lr,
-                pct_start=0.3, div_factor=1e4, final_div_factor=1e4)
+            # optax's onecycle yields NaN when the warmup segment rounds to
+            # zero steps (int(0.3 * total) == 0, division by zero inside) —
+            # degenerate tiny runs (smoke tests) fall back to a constant lr
+            if int(0.3 * self.total_steps) >= 1:
+                sched = optax.cosine_onecycle_schedule(
+                    transition_steps=self.total_steps, peak_value=self.lr,
+                    pct_start=0.3, div_factor=1e4, final_div_factor=1e4)
+            else:
+                sched = self.lr
         else:
             sched = self.lr
         tx = optax.adamw(sched, weight_decay=self.weight_decay, mask=_wd_mask)

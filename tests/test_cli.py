@@ -108,3 +108,88 @@ class TestRunCli:
              f"--config-path={CONFIG_DIR}", f"dataroot={dataroot}",
              f"ckpt_path={run_dir}"] + TINY_OVERRIDES)
         assert metric == float("inf") or np.isfinite(metric)
+
+
+# tiny-shape overrides per config family (the 8 top-level configs; the JAX
+# equivalent of the reference's README smoke commands, README.md:16-62)
+_DIFF_TINY = TINY_OVERRIDES
+# the DDPM U-Net normalizes with a fixed 32 groups (reference diffusion
+# models/diffusion.py GroupNorm(32, ch)) — ch must stay a multiple of 32
+_DDPM_TINY = [o if not o.startswith("model.hparams.model.ch=")
+              else "model.hparams.model.ch=32" for o in TINY_OVERRIDES]
+_FNO_TINY = [
+    "system=swe_per",
+    "trainer.max_epochs=1",
+    "datamodule.batch_size=4",
+    "model.hparams.modes_1=4",
+    "model.hparams.modes_2=4",
+    "model.hparams.width=8",
+    "model.hparams.num_layers=2",
+    "model.hparams.time_history=16",
+]
+_OFORMER_TINY = [
+    "system=swe_per",
+    "trainer.max_epochs=1",
+    "datamodule.batch_size=4",
+    "model.hparams.time_history=16",
+    "model.hparams.encoder.res=16",
+    "model.hparams.decoder.res=16",
+    "model.hparams.encoder.in_emb_dim=16",
+    "model.hparams.encoder.out_channels=16",
+    "model.hparams.encoder.depth=1",
+    "model.hparams.decoder.latent_channels=16",
+    "model.hparams.curriculum_steps=2",
+]
+
+SMOKE_MATRIX = [
+    # (config, overrides, expected metric-key subset)
+    ("config_adm_edm_mcedm_res32.yaml", _DIFF_TINY,
+     {"train_loss", "test_mae_h", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_ddim_res32.yaml", _DDPM_TINY,
+     {"train_loss", "test_mae_h", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_ddim_res32_cond_h.yaml", _DDPM_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_adm_res32_cond_h.yaml", _DIFF_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_adm_edm_res32_cond_h.yaml", _DIFF_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_edm_res32_cond_h.yaml", _DDPM_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_fnostatereconstrabs2d.yaml", _FNO_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+    ("config_oformer_t.yaml", _OFORMER_TINY,
+     {"train_loss", "test_mae_u", "test_pde_loss_gt"}),
+]
+
+
+class TestAllConfigsSmoke:
+    """Every top-level config driven end-to-end through run.py main
+    (train + val + test) on tiny synthetic data: finite losses and the
+    family's metric keys present. The reference's de-facto smoke tests are
+    its README run commands for each config (README.md:16-62)."""
+
+    @pytest.mark.parametrize("config,overrides,want_keys",
+                             [pytest.param(*row, id=row[0][7:-5])
+                              for row in SMOKE_MATRIX])
+    def test_config_smoke(self, config, overrides, want_keys, dataroot,
+                          tmp_path, monkeypatch):
+        import run as run_module
+
+        monkeypatch.chdir(tmp_path)
+        metric = run_module.main(
+            [f"--config-name={config}", f"--config-path={CONFIG_DIR}",
+             f"dataroot={dataroot}"] + list(overrides))
+        assert metric == float("inf") or np.isfinite(metric)
+
+        run_dirs = glob.glob(str(tmp_path / "logs" / "runs" / "*"))
+        assert run_dirs, "run directory created"
+        records = [json.loads(l)
+                   for l in open(os.path.join(run_dirs[0], "metrics.jsonl"))]
+        keys = set().union(*[set(r) for r in records])
+        missing = want_keys - keys
+        assert not missing, f"{config}: missing metric keys {missing}"
+        for r in records:
+            for k in want_keys & set(r):
+                v = r[k]
+                if isinstance(v, (int, float)):
+                    assert np.isfinite(v), f"{config}: {k} not finite ({v})"
