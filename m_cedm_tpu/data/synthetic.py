@@ -46,15 +46,23 @@ def random_fourier_ic(key, x, n2: int = 3):
 
 
 @partial(jax.jit, static_argnames=("xdim", "n_time_steps", "n2", "n_traj",
-                                   "x_min", "x_max", "T_end", "substeps"))
+                                   "x_min", "x_max", "T_end", "substeps",
+                                   "scheme"))
 def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
                                 n_time_steps: int = 128, T_end: float = 0.128,
                                 x_min: float = -0.5, x_max: float = 0.5,
-                                n2: int = 3, substeps: int = 4):
+                                n2: int = 3, substeps: int = 4,
+                                scheme: str = "force"):
     """Generate (h, u) trajectories: (n_traj, T, X) each, fully on device.
 
     `substeps` integrates the FV scheme on a finer time grid than is stored,
     for accuracy (the stored grid matches the reference resolution).
+    scheme: 'force' (centred FV, most diffusive), or 'waveprop' — the
+    Clawpack wave-propagation Godunov update with Roe+efix waves and the
+    van Leer limiter, i.e. the numerical scheme the reference's datasets
+    were actually produced with (sim_dam_break_1d.py:424-446); boundary is
+    extrapolation to match SwPeriodic1D.set_boundary_conditions (the
+    reference uses extrap BCs even for the periodic-IC system).
     """
     step = (x_max - x_min) / xdim
     x = jnp.linspace(x_min + step / 2, x_max - step / 2, xdim)
@@ -62,6 +70,19 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
     keys = jax.random.split(key, n_traj)
     ics = jax.vmap(lambda k: random_fourier_ic(k, x, n2))(keys)
     h0, lambdas, gammas = ics
+
+    if scheme == "waveprop":
+        from m_cedm_tpu.physics.riemann import (conservative_to_primitive,
+                                                integrate)
+
+        q0 = jnp.stack([h0, jnp.zeros_like(h0)], axis=-1)
+        dt_store = T_end / n_time_steps
+        traj_q = integrate(q0, dt_store, step, n_time_steps,
+                           substeps=substeps, scheme="waveprop",
+                           limiter="vanleer", boundary="extrap")
+        trajs = conservative_to_primitive(traj_q)
+        t = jnp.linspace(0.0, T_end, n_time_steps)
+        return trajs, x, t, lambdas, gammas
 
     fv = SweFvLoss(Tn=T_end, x_min=x_min, x_max=x_max)
     dt = T_end / (n_time_steps * substeps)
@@ -84,11 +105,12 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
     return trajs, x, t, lambdas, gammas
 
 
-@partial(jax.jit, static_argnames=("xdim", "n_time_steps", "n_traj", "substeps"))
+@partial(jax.jit, static_argnames=("xdim", "n_time_steps", "n_traj",
+                                   "substeps", "scheme"))
 def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
                                  n_time_steps: int = 128, T_end: float = 1.28,
                                  x_min: float = -2.5, x_max: float = 2.5,
-                                 substeps: int = 8):
+                                 substeps: int = 8, scheme: str = "godunov"):
     """Dam-break / Gaussian-perturbation trajectories (the `swe` system).
 
     Initial conditions mirror the reference generator
@@ -97,7 +119,9 @@ def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
       h_in ~ U(1.2, 5.2), eps ~ U(0.05, 1), x0 ~ U(-1, 1),
       init_u ~ U(-2.2, 2.2), sigma ~ U(0.2, 2)
     Integrated with the HLL Godunov solver (physics/riemann.py) on
-    [-2.5, 2.5] with extrapolation boundaries.
+    [-2.5, 2.5] with extrapolation boundaries; scheme='waveprop' swaps in
+    the Clawpack wave-propagation update (Roe+efix waves, van Leer
+    limiter) — the reference's actual scheme (sim_dam_break_1d.py:424-446).
     """
     from m_cedm_tpu.physics.riemann import conservative_to_primitive, integrate
 
@@ -117,7 +141,8 @@ def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
 
     dt_store = T_end / n_time_steps
     traj_q = integrate(q0, dt_store, step, n_time_steps, substeps=substeps,
-                       flux="hll", boundary="extrap")
+                       flux="hll", boundary="extrap", scheme=scheme,
+                       limiter="vanleer")
     trajs = conservative_to_primitive(traj_q)
     t = jnp.linspace(0.0, T_end, n_time_steps)
     consts = dict(inner_height=h_in[:, 0], init_stimulus=eps[:, 0],
@@ -127,9 +152,10 @@ def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
 
 def write_swe_dam_break_dataset(path: str, key, n_traj: int, xdim: int = 128,
                                 n_time_steps: int = 128, T_end: float = 1.28,
-                                seed_offset: int = 0):
+                                seed_offset: int = 0,
+                                scheme: str = "godunov"):
     trajs, x, t, consts = generate_swe_dam_break_batch(
-        key, n_traj, xdim, n_time_steps, T_end)
+        key, n_traj, xdim, n_time_steps, T_end, scheme=scheme)
     trajs = np.asarray(trajs)
     write_store(path, inputs=trajs[..., 0:1], targets=trajs[..., 1:2],
                 x=np.broadcast_to(np.asarray(x), (n_traj, xdim)),
@@ -205,9 +231,9 @@ def generate_darcy_batch(key, n_fields: int, size: int = 128, cg_iters: int = 40
 
 def write_swe_dataset(path: str, key, n_traj: int, xdim: int = 128,
                       n_time_steps: int = 128, T_end: float = 0.128,
-                      seed_offset: int = 0):
+                      seed_offset: int = 0, scheme: str = "force"):
     trajs, x, t, lambdas, gammas = generate_swe_periodic_batch(
-        key, n_traj, xdim, n_time_steps, T_end)
+        key, n_traj, xdim, n_time_steps, T_end, scheme=scheme)
     trajs = np.asarray(trajs)
     h = trajs[..., 0:1]
     u = trajs[..., 1:2]
@@ -238,6 +264,12 @@ def main():
     p.add_argument("--n-test", type=int, default=16)
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheme", default=None,
+                   choices=["force", "godunov", "waveprop"],
+                   help="SWE integrator: per-system default (force for "
+                        "swe_per, godunov/HLL for swe), or 'waveprop' — the "
+                        "reference's Clawpack scheme (Roe+efix waves, van "
+                        "Leer limiter)")
     p.add_argument("--config", default=None,
                    help="configs/generate/*.yaml dataset spec (overrides "
                         "--system/--res/--n-train/--n-test)")
@@ -257,21 +289,25 @@ def main():
     k_train, k_test = jax.random.split(key)
     res = args.res
     if args.system == "swe_per":
+        scheme = args.scheme or "force"
         sub = base = f"1D_swp_{res}_per"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
         write_swe_dataset(os.path.join(args.out, sub, f"{base}_train.h5"),
-                          k_train, args.n_train, res, res, 0.128)
+                          k_train, args.n_train, res, res, 0.128,
+                          scheme=scheme)
         write_swe_dataset(os.path.join(args.out, sub, f"{base}_test.h5"),
-                          k_test, args.n_test, res, res, 0.128, seed_offset=1000)
+                          k_test, args.n_test, res, res, 0.128,
+                          seed_offset=1000, scheme=scheme)
     elif args.system == "swe":
+        scheme = args.scheme or "godunov"
         sub = base = f"1D_swp_{res}"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
         write_swe_dam_break_dataset(
             os.path.join(args.out, sub, f"{base}_train.h5"), k_train,
-            args.n_train, res, res, 1.28)
+            args.n_train, res, res, 1.28, scheme=scheme)
         write_swe_dam_break_dataset(
             os.path.join(args.out, sub, f"{base}_test.h5"), k_test,
-            args.n_test, res, res, 1.28, seed_offset=1000)
+            args.n_test, res, res, 1.28, seed_offset=1000, scheme=scheme)
     else:
         sub = "1D_darcy_128"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)

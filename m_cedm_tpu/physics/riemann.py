@@ -223,6 +223,136 @@ FLUXES = {"hll": hll_flux, "roe": roe_flux, "fwave": fwave_flux,
           "exact": exact_flux}
 
 
+def roe_waves(ql, qr, g=G_DEFAULT):
+    """Roe wave decomposition with the Harten-Hyman entropy fix, matching
+    the reference's pure-Python PyClaw solver number-for-number
+    (generate/src/riemann_solvers.py:49-153, itself validated there against
+    the Fortran rp1_shallow_roe_with_efix).
+
+    Returns (waves, speeds, amdq, apdq) with waves (..., 2 fam, 2 eqn) and
+    speeds (..., 2): the inputs to Clawpack's wave-propagation update.
+    """
+    hl, hul = ql[..., 0], ql[..., 1]
+    hr, hur = qr[..., 0], qr[..., 1]
+    sqhl = jnp.sqrt(jnp.maximum(hl, EPS))
+    sqhr = jnp.sqrt(jnp.maximum(hr, EPS))
+    ubar = (hul / sqhl + hur / sqhr) / (sqhl + sqhr)
+    cbar = jnp.sqrt(0.5 * g * (hl + hr))
+
+    dh = hr - hl
+    dhu = hur - hul
+    a1 = 0.5 * (-dhu + (ubar + cbar) * dh) / (cbar + EPS)
+    a2 = 0.5 * (dhu - (ubar - cbar) * dh) / (cbar + EPS)
+
+    s1 = ubar - cbar
+    s2 = ubar + cbar
+    w1 = jnp.stack([a1, a1 * s1], axis=-1)
+    w2 = jnp.stack([a2, a2 * s2], axis=-1)
+
+    amdq = (jnp.minimum(s1, 0.0)[..., None] * w1
+            + jnp.minimum(s2, 0.0)[..., None] * w2)
+    apdq = (jnp.maximum(s1, 0.0)[..., None] * w1
+            + jnp.maximum(s2, 0.0)[..., None] * w2)
+
+    # Harten-Hyman transonic-rarefaction fix (reference :120-152): split the
+    # wave's fluctuation by beta so beta*lam_left + (1-beta)*lam_mid = s.
+    def lam1(q):
+        return q[..., 1] / (q[..., 0] + EPS) - jnp.sqrt(
+            g * jnp.maximum(q[..., 0], 0.0))
+
+    def lam2(q):
+        return q[..., 1] / (q[..., 0] + EPS) + jnp.sqrt(
+            g * jnp.maximum(q[..., 0], 0.0))
+
+    qm = ql + w1
+    l1l, l1m = lam1(ql), lam1(qm)
+    l2m, l2r = lam2(qm), lam2(qr)
+    trans1 = (l1l < 0.0) & (l1m > 0.0)
+    trans2 = (l2m < 0.0) & (l2r > 0.0)
+    beta1 = (l1m - s1) / (l1m - l1l + EPS)
+    beta2 = (l2r - s2) / (l2r - l2m + EPS)
+
+    am1 = jnp.where(s1 >= 0.0, beta1 * l1l, beta1 * l1l - s1)
+    ap1 = jnp.where(s1 < 0.0, (1 - beta1) * l1m, (1 - beta1) * l1m - s1)
+    am2 = jnp.where(s2 >= 0.0, beta2 * l2m, beta2 * l2m - s2)
+    ap2 = jnp.where(s2 < 0.0, (1 - beta2) * l2r, (1 - beta2) * l2r - s2)
+
+    amdq = amdq + (jnp.where(trans1, am1, 0.0)[..., None] * w1
+                   + jnp.where(trans2, am2, 0.0)[..., None] * w2)
+    apdq = apdq + (jnp.where(trans1, ap1, 0.0)[..., None] * w1
+                   + jnp.where(trans2, ap2, 0.0)[..., None] * w2)
+
+    waves = jnp.stack([w1, w2], axis=-2)  # (..., fam, eqn)
+    speeds = jnp.stack([s1, s2], axis=-1)
+    return waves, speeds, amdq, apdq
+
+
+def limiter_phi(theta, name: str):
+    """TVD limiter functions (pyclaw.limiters.tvd ids used by the
+    reference: vanleer is what sim_dam_break_1d.py:445 configures)."""
+    if name == "vanleer":
+        return (theta + jnp.abs(theta)) / (1.0 + jnp.abs(theta))
+    if name == "mc":
+        return jnp.maximum(0.0, jnp.minimum(
+            jnp.minimum((1.0 + theta) / 2.0, 2.0), 2.0 * theta))
+    if name == "minmod":
+        return jnp.maximum(0.0, jnp.minimum(1.0, theta))
+    if name == "superbee":
+        return jnp.maximum(0.0, jnp.maximum(
+            jnp.minimum(1.0, 2.0 * theta), jnp.minimum(2.0, theta)))
+    if name == "none":
+        return jnp.ones_like(theta)
+    raise ValueError(f"unknown limiter {name!r}")
+
+
+def waveprop_step(q, dt, dx, g=G_DEFAULT, limiter: str = "vanleer",
+                  boundary: str = "extrap"):
+    """One Clawpack-style wave-propagation update (LeVeque's classic
+    ClawSolver1D step_hyperbolic): first-order Godunov fluctuations from
+    the Roe+efix decomposition plus limited second-order correction waves.
+
+      q_i -= dt/dx (apdq_{i-1/2} + amdq_{i+1/2})
+             + dt/dx (F~_{i+1/2} - F~_{i-1/2}),
+      F~ = 1/2 sum_p |s^p| (1 - dt/dx |s^p|) phi(theta^p) W^p,
+      theta^p_{i-1/2} = <W^p_{I-1/2}, W^p_{i-1/2}> / ||W^p_{i-1/2}||^2,
+      I = i-1 if s^p >= 0 else i+1.
+
+    This is the numerical scheme the reference's datasets were actually
+    produced with (sim_dam_break_1d.py:424-446: ClawSolver1D +
+    shallow_roe_with_efix + vanleer limiter), so `--scheme waveprop`
+    datasets share its shock fingerprint. q: (..., X, 2).
+    """
+    if boundary == "periodic":
+        qp = jnp.concatenate([q[..., -2:, :], q, q[..., :2, :]], axis=-2)
+    else:
+        qp = jnp.concatenate([q[..., :1, :], q[..., :1, :], q,
+                              q[..., -1:, :], q[..., -1:, :]], axis=-2)
+    # interfaces j = 1..X+3 between padded cells (j-1, j)
+    ql = qp[..., :-1, :]
+    qr = qp[..., 1:, :]
+    waves, speeds, amdq, apdq = roe_waves(ql, qr, g)  # (..., X+3, fam, .)
+
+    # first-order update on real cells i=2..X+1:
+    # apdq at interface i-1/2 (index i-1 in the interface array),
+    # amdq at interface i+1/2 (index i)
+    dq1 = apdq[..., 1:-2, :] + amdq[..., 2:-1, :]
+
+    # limited waves: theta from the upwind interface's same-family wave
+    wsq = jnp.sum(waves * waves, axis=-1)  # (..., X+3, fam)
+    dot_prev = jnp.sum(waves[..., 1:, :, :] * waves[..., :-1, :, :], axis=-1)
+    up = jnp.where(speeds[..., 1:-1, :] >= 0.0, dot_prev[..., :-1, :],
+                   dot_prev[..., 1:, :])
+    theta = up / (wsq[..., 1:-1, :] + 1e-30)
+    wlim = limiter_phi(theta, limiter)[..., None] * waves[..., 1:-1, :, :]
+
+    nu = (dt / dx) * jnp.abs(speeds[..., 1:-1, :])
+    f2 = 0.5 * jnp.sum((jnp.abs(speeds[..., 1:-1, :]) * (1.0 - nu))[..., None]
+                       * wlim, axis=-2)  # (..., X+1, eqn) at j=2..X+2
+    dq2 = f2[..., 1:, :] - f2[..., :-1, :]
+
+    return q - dt / dx * (dq1 + dq2)
+
+
 def godunov_step(q, dt, dx, g=G_DEFAULT, flux: str = "hll",
                  boundary: str = "extrap"):
     """One first-order Godunov update with ghost-cell boundaries.
@@ -241,18 +371,28 @@ def godunov_step(q, dt, dx, g=G_DEFAULT, flux: str = "hll",
     return q - dt / dx * (f[..., 1:, :] - f[..., :-1, :])
 
 
-@partial(jax.jit, static_argnames=("n_store", "substeps", "flux", "boundary"))
+@partial(jax.jit, static_argnames=("n_store", "substeps", "flux", "boundary",
+                                   "scheme", "limiter"))
 def integrate(q0, dt_store, dx, n_store: int, substeps: int = 4,
-              g=G_DEFAULT, flux: str = "hll", boundary: str = "extrap"):
+              g=G_DEFAULT, flux: str = "hll", boundary: str = "extrap",
+              scheme: str = "godunov", limiter: str = "vanleer"):
     """Integrate and store n_store states at dt_store spacing.
 
     q0: (..., X, 2). Returns (..., n_store, X, 2) with q0 as the first state.
+    scheme: 'godunov' (first-order, `flux` selects the interface solver) or
+    'waveprop' (Clawpack-style limited second-order — the reference's actual
+    dataset scheme; `limiter` selects the TVD limiter).
     """
     dt = dt_store / substeps
 
+    def step_fn(qi):
+        if scheme == "waveprop":
+            return waveprop_step(qi, dt, dx, g, limiter, boundary)
+        return godunov_step(qi, dt, dx, g, flux, boundary)
+
     def outer(q, _):
         def inner(qi, _):
-            return godunov_step(qi, dt, dx, g, flux, boundary), None
+            return step_fn(qi), None
 
         q_next, _ = jax.lax.scan(inner, q, None, length=substeps)
         return q_next, q_next
