@@ -29,7 +29,10 @@ def rotate_half(x):
 
 
 def apply_rotary_pos_emb_1d(t, freqs):
-    return t * jnp.cos(freqs) + rotate_half(t) * jnp.sin(freqs)
+    # phases stay fp32; the rotation factors are applied in t's dtype so a
+    # bf16 activation stream is not silently promoted back to fp32
+    return (t * jnp.cos(freqs).astype(t.dtype)
+            + rotate_half(t) * jnp.sin(freqs).astype(t.dtype))
 
 
 def apply_rotary_pos_emb_multi(t, freqs: List):

@@ -32,6 +32,45 @@ import numpy as np
 
 from m_cedm_tpu.models.encoding import apply_rotary_pos_emb_multi, rotary_freqs
 
+# Mixed precision (TPU-first; round-4 profile): with fp32 compute, XLA's
+# bf16x3 matmul decomposition dominates the device profile — every
+# (B, 16384, 512) operand is split into bf16 hi/lo planes and each dot runs
+# 3 passes. Threading an explicit bf16 compute dtype (fp32 params, fp32
+# norm statistics — see instance_norm_tokens) removes the decomposition
+# traffic and runs the MXU at native bf16 rate. Selected per-task via
+# hparams['dtype'] (run.py maps trainer.precision=bf16 onto it), exactly
+# like the flagship diffusion tasks.
+
+Dtype = Optional[jnp.dtype]
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+class ChunkedDense(nn.Module):
+    """use_bias=False Dense whose output chunks come from separate
+    kernel-column-slice matmuls instead of one concatenated output that is
+    immediately re-split (the re-split of a (B, 16384, 3*inner) activation
+    is a pure HBM round-trip — 3.2 ms/call for the decoder kv split in the
+    round-4 profile). The parameter layout ('kernel', (in, features)) is
+    identical to nn.Dense, so checkpoints and goldens are unchanged."""
+    features: int
+    n_chunks: int
+    kernel_init: nn.initializers.Initializer
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        c = self.features // self.n_chunks
+        return tuple(x @ kernel[:, i * c:(i + 1) * c]
+                     for i in range(self.n_chunks))
+
 
 def _qkv_init(heads: int, dim_head: int, n_chunks: int, boosted: Tuple[int, ...],
               init_gain: float, diagonal_weight: float):
@@ -74,20 +113,31 @@ def instance_norm_tokens(x, eps: float = 1e-5):
     torch.nn.InstanceNorm1d(dim_head), which treats the layout as (N, C=n,
     L=d) and therefore normalizes over the LAST axis per token — not over the
     token/domain axis the Galerkin paper intends (torch warns num_features is
-    unused). We reproduce the actual behavior, not the intent."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps)
+    unused). We reproduce the actual behavior, not the intent.
+
+    Statistics run in fp32 (mixed-precision safety) but the normalization
+    itself applies in the input dtype — materializing an fp32 copy of a
+    bf16 activation just to subtract/scale doubles the HBM traffic (the
+    round-4 profile showed ~23 ms/step of convert fusions)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    if x.dtype == jnp.float32:  # bit-exact legacy path (goldens)
+        return (x32 - mean) / jnp.sqrt(var + eps)
+    scale = (1.0 / jnp.sqrt(var + eps)).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * scale
 
 
 def masked_instance_norm(x, mask, eps: float = 1e-5):
-    """x: (N, L, C); mask: (N, L, 1) with 1 = valid."""
-    mask = mask.astype(x.dtype)
+    """x: (N, L, C); mask: (N, L, 1) with 1 = valid. fp32 statistics."""
+    x32 = x.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     denom = jnp.sum(mask, axis=1)
-    mean = jax.lax.stop_gradient(jnp.sum(x * mask, axis=1) / denom)
-    var_term = ((x - mean[:, None]) * mask) ** 2
+    mean = jax.lax.stop_gradient(jnp.sum(x32 * mask, axis=1) / denom)
+    var_term = ((x32 - mean[:, None]) * mask) ** 2
     var = jax.lax.stop_gradient(jnp.sum(var_term, axis=1) / denom)
-    return (x - mean[:, None]) / jnp.sqrt(var[:, None] + eps)
+    return ((x32 - mean[:, None])
+            / jnp.sqrt(var[:, None] + eps)).astype(x.dtype)
 
 
 class GeGELU(nn.Module):
@@ -102,16 +152,17 @@ class FeedForward(nn.Module):
     hidden_dim: int
     dropout: float = 0.0
     use_relu: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.use_relu:
-            x = nn.relu(nn.Dense(self.hidden_dim)(x))
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(x))
         else:
-            x = GeGELU()(nn.Dense(self.hidden_dim * 2)(x))
+            x = GeGELU()(nn.Dense(self.hidden_dim * 2, dtype=self.dtype)(x))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
@@ -134,6 +185,7 @@ class LinearAttention(nn.Module):
     cat_pos: bool = False
     pos_dim: int = 2
     use_ln: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, pos=None, not_assoc: bool = False,
@@ -142,10 +194,10 @@ class LinearAttention(nn.Module):
         inner = heads * dh
         gain = self.init_gain if self.init_gain is not None else 1.0 / dh
         boosted = (0,) if self.attn_type == "galerkin" else (2,)
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv",
-                       kernel_init=_qkv_init(heads, dh, 3, boosted, gain, gain))(x)
-        b, n, _ = qkv.shape
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = ChunkedDense(
+            inner * 3, 3, name="to_qkv", dtype=self.dtype,
+            kernel_init=_qkv_init(heads, dh, 3, boosted, gain, gain))(x)
+        b, n, _ = q.shape
         q = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
@@ -153,15 +205,15 @@ class LinearAttention(nn.Module):
         if padding_mask is None:
             if self.attn_type == "galerkin":
                 if self.use_ln:
-                    k = nn.LayerNorm(name="k_norm")(k)
-                    v = nn.LayerNorm(name="v_norm")(v)
+                    k = nn.LayerNorm(name="k_norm", dtype=self.dtype)(k)
+                    v = nn.LayerNorm(name="v_norm", dtype=self.dtype)(v)
                 else:
                     k = instance_norm_tokens(k)
                     v = instance_norm_tokens(v)
             else:
                 if self.use_ln:
-                    q = nn.LayerNorm(name="q_norm")(q)
-                    k = nn.LayerNorm(name="k_norm")(k)
+                    q = nn.LayerNorm(name="q_norm", dtype=self.dtype)(q)
+                    k = nn.LayerNorm(name="k_norm", dtype=self.dtype)(k)
                 else:
                     q = instance_norm_tokens(q)
                     k = instance_norm_tokens(k)
@@ -195,7 +247,8 @@ class LinearAttention(nn.Module):
             q = apply_rotary_pos_emb_multi(q, freqs)
             k = apply_rotary_pos_emb_multi(k, freqs)
         elif self.cat_pos:
-            p = jnp.broadcast_to(pos[:, None], (b, heads, n, self.pos_dim))
+            p = jnp.broadcast_to(pos[:, None], (b, heads, n, self.pos_dim)
+                                 ).astype(q.dtype)
             q = jnp.concatenate([p, q], axis=-1)
             k = jnp.concatenate([p, k], axis=-1)
             v = jnp.concatenate([p, v], axis=-1)
@@ -209,7 +262,7 @@ class LinearAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
         out_dim = out.shape[-1]
         if not (heads == 1 and dh == self.dim and not self.cat_pos):
-            out = nn.Dense(self.dim, name="to_out")(out)
+            out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
             if self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -230,19 +283,20 @@ class CrossLinearAttention(nn.Module):
     cat_pos: bool = False
     pos_dim: int = 2
     use_ln: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, z, x_pos=None, z_pos=None, deterministic: bool = True):
         heads, dh = self.heads, self.dim_head
         inner = heads * dh
         gain = self.init_gain if self.init_gain is not None else 1.0 / dh
-        q = nn.Dense(inner, use_bias=False, name="to_q",
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype,
                      kernel_init=_qkv_init(heads, dh, 1, (0,), gain, gain))(x)
-        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv",
-                      kernel_init=_qkv_init(heads, dh, 2, (0, 1), gain, gain))(z)
+        k, v = ChunkedDense(
+            inner * 2, 2, name="to_kv", dtype=self.dtype,
+            kernel_init=_qkv_init(heads, dh, 2, (0, 1), gain, gain))(z)
         b, n1 = x.shape[0], x.shape[1]
         n2 = z.shape[1]
-        k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b, n1, heads, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, n2, heads, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, n2, heads, dh).transpose(0, 2, 1, 3)
@@ -267,8 +321,10 @@ class CrossLinearAttention(nn.Module):
             q = rope(q, x_pos, n1)
             k = rope(k, z_pos, n2)
         elif self.cat_pos:
-            px = jnp.broadcast_to(x_pos[:, None], (b, heads, n1, self.pos_dim))
-            pz = jnp.broadcast_to(z_pos[:, None], (b, heads, n2, self.pos_dim))
+            px = jnp.broadcast_to(x_pos[:, None], (b, heads, n1, self.pos_dim)
+                                  ).astype(q.dtype)
+            pz = jnp.broadcast_to(z_pos[:, None], (b, heads, n2, self.pos_dim)
+                                  ).astype(k.dtype)
             q = jnp.concatenate([px, q], axis=-1)
             k = jnp.concatenate([pz, k], axis=-1)
             v = jnp.concatenate([pz, v], axis=-1)
@@ -277,7 +333,7 @@ class CrossLinearAttention(nn.Module):
         out = jnp.einsum("bhnd,bhde->bhne", q, dots) / n2
         out = out.transpose(0, 2, 1, 3).reshape(b, n1, -1)
         if not (heads == 1 and dh == self.dim and not self.cat_pos):
-            out = nn.Dense(self.dim, name="to_out")(out)
+            out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
             if self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -297,12 +353,14 @@ class TransformerCatNoCls(nn.Module):
     dropout: float = 0.0
     use_relu: bool = False
     cat_pos: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, pos_embedding, deterministic: bool = True):
         scales = list(self.scale)
         if len(scales) == 1:
             scales = scales * self.depth
+        x = x.astype(self.dtype or x.dtype)
         for d in range(self.depth):
             if scales[d] != -1 or not self.cat_pos:
                 attn = LinearAttention(
@@ -310,19 +368,21 @@ class TransformerCatNoCls(nn.Module):
                     dim_head=self.dim_head, dropout=self.dropout,
                     relative_emb=True, scale=scales[d],
                     relative_emb_dim=self.relative_emb_dim,
-                    min_freq=self.min_freq, use_ln=False, name=f"attn_{d}")
+                    min_freq=self.min_freq, use_ln=False, name=f"attn_{d}",
+                    dtype=self.dtype)
             else:
                 attn = LinearAttention(
                     self.dim, self.attn_type, heads=self.heads,
                     dim_head=self.dim_head, dropout=self.dropout,
                     cat_pos=True, pos_dim=self.relative_emb_dim,
-                    relative_emb=False, name=f"attn_{d}")
+                    relative_emb=False, name=f"attn_{d}", dtype=self.dtype)
             ffn = FeedForward(self.dim, self.mlp_dim, self.dropout,
-                              self.use_relu, name=f"ffn_{d}")
+                              self.use_relu, name=f"ffn_{d}",
+                              dtype=self.dtype)
             if self.use_ln:
-                x = nn.LayerNorm(name=f"ln1_{d}")(x)
+                x = nn.LayerNorm(name=f"ln1_{d}", dtype=self.dtype)(x)
                 x = attn(x, pos_embedding, deterministic=deterministic) + x
-                x = nn.LayerNorm(name=f"ln2_{d}")(x)
+                x = nn.LayerNorm(name=f"ln2_{d}", dtype=self.dtype)(x)
                 x = ffn(x, deterministic) + x
             else:
                 x = attn(x, pos_embedding, deterministic=deterministic) + x
@@ -364,6 +424,7 @@ class IrregSTEncoder(nn.Module):
     """Token encoder: temporal conv patching + node-type embedding +
     galerkin transformer stack."""
     cfg: OformerEncoderConfig
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, node_type, input_pos, deterministic: bool = True):
@@ -373,14 +434,17 @@ class IrregSTEncoder(nn.Module):
         # conv (tw,1)/stride (tw,1) over [t, n] == dense over tw-grouped frames
         x = x.transpose(0, 2, 1, 3).reshape(b, n, t // tw, tw * c)
         x = x.squeeze(2) if t // tw == 1 else x.reshape(b, n * (t // tw), tw * c)
-        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="emb0")(x)
+        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="emb0",
+                     dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="emb1")(x)
+        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="emb1",
+                     dtype=self.dtype)(x)
 
         x_node = nn.Embed(cfg.max_node_type, cfg.in_emb_dim,
                           name="node_embedding")(node_type[..., 0])
-        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="combine_embedding")(
-            jnp.concatenate([x, x_node], axis=-1))
+        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="combine_embedding",
+                     dtype=self.dtype)(
+            jnp.concatenate([x, x_node.astype(x.dtype)], axis=-1))
         x_skip = x
         if cfg.emb_dropout > 0:
             x = nn.Dropout(cfg.emb_dropout)(x, deterministic=deterministic)
@@ -393,11 +457,14 @@ class IrregSTEncoder(nn.Module):
             cfg.in_emb_dim, cfg.depth, cfg.heads, cfg.in_emb_dim,
             cfg.in_emb_dim, "galerkin", cfg.use_ln, scale=tuple(scales),
             relative_emb_dim=cfg.relative_emb_dim, min_freq=1 / cfg.res,
-            name="s_transformer")(x, input_pos, deterministic)
-        x = nn.LayerNorm(name="ln")(x + x_skip)
-        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="out0")(x)
+            name="s_transformer", dtype=self.dtype)(x, input_pos,
+                                                    deterministic)
+        x = nn.LayerNorm(name="ln", dtype=self.dtype)(x + x_skip)
+        x = nn.Dense(cfg.in_emb_dim, use_bias=False, name="out0",
+                     dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(cfg.out_channels, use_bias=False, name="out1")(x)
+        return nn.Dense(cfg.out_channels, use_bias=False, name="out1",
+                        dtype=self.dtype)(x)
 
 
 class GaussianFourierFeatureTransform(nn.Module):
@@ -432,6 +499,7 @@ class CrossFormer(nn.Module):
     relative_emb_dim: int = 2
     min_freq: float = 1 / 64
     dropout: float = 0.0
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, z, x_pos=None, z_pos=None, deterministic: bool = True):
@@ -439,17 +507,20 @@ class CrossFormer(nn.Module):
             self.dim, self.attn_type, heads=self.heads, dim_head=self.dim_head,
             dropout=self.dropout, relative_emb=self.relative_emb,
             scale=self.scale, relative_emb_dim=self.relative_emb_dim,
-            min_freq=self.min_freq, name="cross_attn")
+            min_freq=self.min_freq, name="cross_attn", dtype=self.dtype)
+        x = x.astype(self.dtype or x.dtype)
+        z = z.astype(self.dtype or z.dtype)
         if self.use_ln:
-            z = nn.LayerNorm(name="ln1")(z)
-            y = nn.LayerNorm(name="ln2")(attn(x, z, x_pos, z_pos, deterministic))
+            z = nn.LayerNorm(name="ln1", dtype=self.dtype)(z)
+            y = nn.LayerNorm(name="ln2", dtype=self.dtype)(
+                attn(x, z, x_pos, z_pos, deterministic))
             x = y + x if self.residual else y
         else:
             y = attn(x, z, x_pos, z_pos, deterministic)
             x = y + x if self.residual else y
         if self.use_ffn:
             x = FeedForward(self.dim, self.mlp_dim, self.dropout,
-                            name="ffn")(x, deterministic) + x
+                            name="ffn", dtype=self.dtype)(x, deterministic) + x
         return x
 
 
@@ -478,6 +549,7 @@ class OformerDecoderConfig:
 class IrregSTDecoder(nn.Module):
     """Coordinate-query decoder with latent `propagate` rollout (lax.scan)."""
     cfg: OformerDecoderConfig
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, z, propagate_pos, prop_node_type, forward_steps: int,
@@ -485,40 +557,53 @@ class IrregSTDecoder(nn.Module):
         cfg = self.cfg
         lc = cfg.latent_channels
         space_dim = cfg.relative_emb_dim
+        cdt = self.dtype or z.dtype
 
         x_node = nn.Embed(cfg.max_node_type, lc, name="node_type_embedding")(
-            prop_node_type[..., 0])
+            prop_node_type[..., 0]).astype(cdt)
         x = GaussianFourierFeatureTransform(space_dim, lc // 2, cfg.scale,
                                             name="fourier_features")(propagate_pos)
-        x = nn.Dense(lc, use_bias=False, name="coord_proj0")(x)
+        x = x.astype(cdt)
+        x = nn.Dense(lc, use_bias=False, name="coord_proj0",
+                     dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Dense(lc, use_bias=False, name="coord_proj1")(x)
-        x = nn.Dense(lc, use_bias=False, name="combine_layer")(
+        x = nn.Dense(lc, use_bias=False, name="coord_proj1",
+                     dtype=self.dtype)(x)
+        x = nn.Dense(lc, use_bias=False, name="combine_layer",
+                     dtype=self.dtype)(
             jnp.concatenate([x, x_node], axis=-1))
 
         if cfg.dropout > 0:
             z = nn.Dropout(cfg.dropout)(z, deterministic=deterministic)
         z = CrossFormer(lc, "galerkin", 4, lc, lc, relative_emb=True,
                         scale=32.0, relative_emb_dim=space_dim,
-                        min_freq=1 / cfg.res, name="decoding_transformer")(
+                        min_freq=1 / cfg.res, name="decoding_transformer",
+                        dtype=self.dtype)(
             x, z, propagate_pos, input_pos, deterministic)
         z = LinearAttention(lc, "galerkin", heads=1, dim_head=lc,
                             relative_emb=True, scale=32.0,
                             relative_emb_dim=space_dim, min_freq=1 / cfg.res,
-                            use_ln=False, name="mix_layer")(
+                            use_ln=False, name="mix_layer", dtype=self.dtype)(
             z, propagate_pos, deterministic=deterministic) + z
-        z = nn.Dense(lc * 2, use_bias=False, name="expand_layer")(z)
+        z = nn.Dense(lc * 2, use_bias=False, name="expand_layer",
+                     dtype=self.dtype)(z)
 
-        prop_norm = nn.LayerNorm(name="prop_norm")
-        prop_mlp = [nn.Dense(lc * 2, use_bias=False, name=f"prop_mlp{i}")
+        prop_norm = nn.LayerNorm(name="prop_norm", dtype=self.dtype)
+        prop_mlp = [nn.Dense(lc * 2, use_bias=False, name=f"prop_mlp{i}",
+                             dtype=self.dtype)
                     for i in range(4)]
-        out_norm = nn.LayerNorm(name="out_norm")
-        to_out = [nn.Dense(lc * 2, use_bias=False, name="to_out0"),
-                  nn.Dense(lc, use_bias=False, name="to_out1"),
-                  nn.Dense(cfg.out_channels, use_bias=True, name="to_out2")]
+        out_norm = nn.LayerNorm(name="out_norm", dtype=self.dtype)
+        to_out = [nn.Dense(lc * 2, use_bias=False, name="to_out0",
+                           dtype=self.dtype),
+                  nn.Dense(lc, use_bias=False, name="to_out1",
+                           dtype=self.dtype),
+                  nn.Dense(cfg.out_channels, use_bias=True, name="to_out2",
+                           dtype=self.dtype)]
+        ppos = propagate_pos.astype(cdt)
 
         def propagate(zz):
-            h = jnp.concatenate([prop_norm(zz), x_node, propagate_pos], axis=-1)
+            h = jnp.concatenate([prop_norm(zz),
+                                 x_node, ppos], axis=-1)
             for i, layer in enumerate(prop_mlp):
                 h = layer(h)
                 if i < 3:
@@ -530,7 +615,7 @@ class IrregSTDecoder(nn.Module):
             h = jnp.concatenate([h, x_node], axis=-1)
             h = nn.relu(to_out[0](h))
             h = nn.relu(to_out[1](h))
-            return to_out[2](h)
+            return _f32(to_out[2](h))
 
         # materialize all params with one call OUTSIDE the scan (flax cannot
         # create params inside a lax.scan trace); the scan then reuses them

@@ -38,13 +38,15 @@ from m_cedm_tpu.tasks.base import TrainState, mae, normalizers_from_stats
 class OformerModel(nn.Module):
     enc_cfg: OformerEncoderConfig
     dec_cfg: OformerDecoderConfig
+    dtype: Optional[jnp.dtype] = None  # bf16 compute / fp32 master + stats
 
     @nn.compact
     def __call__(self, x, node_type_inp, node_type_prop, input_pos, prop_pos,
                  forward_steps: int, deterministic: bool = True):
-        z = IrregSTEncoder(self.enc_cfg, name="encoder")(
+        x = x.astype(self.dtype or x.dtype)
+        z = IrregSTEncoder(self.enc_cfg, name="encoder", dtype=self.dtype)(
             x, node_type_inp, input_pos, deterministic)
-        return IrregSTDecoder(self.dec_cfg, name="decoder")(
+        return IrregSTDecoder(self.dec_cfg, name="decoder", dtype=self.dtype)(
             z, prop_pos, node_type_prop, forward_steps, input_pos, deterministic)
 
 
@@ -68,7 +70,14 @@ class OformerTask:
         self.hparams = hparams
         self.enc_cfg = OformerEncoderConfig.from_hparams(hparams["encoder"])
         self.dec_cfg = OformerDecoderConfig.from_hparams(hparams["decoder"])
-        self.model = OformerModel(self.enc_cfg, self.dec_cfg)
+        # mixed precision (run.py maps trainer.precision=bf16 onto
+        # hparams['dtype'], mirroring the diffusion tasks): bf16 compute,
+        # fp32 params/optimizer and fp32 norm statistics in the model
+        dtype_name = hparams.get("dtype", "float32")
+        self.compute_dtype = (jnp.bfloat16
+                              if dtype_name in ("bfloat16", "bf16") else None)
+        self.model = OformerModel(self.enc_cfg, self.dec_cfg,
+                                  dtype=self.compute_dtype)
         self.time_history = hparams.get("time_history", 128)
         self.loss_kind = hparams.get("loss", "mse")
         self.lr = hparams["lr"]

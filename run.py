@@ -190,9 +190,14 @@ def main(argv=None) -> float:
         ckpt_monitor=ckpt_monitor, ckpt_mode=ckpt_mode)
 
     # trainer precision 'bf16'/'bfloat16' selects the mixed-precision
-    # compute path (fp32 master params; tasks/diffusion.py)
+    # compute path (fp32 master params; tasks/diffusion.py for the diffusion
+    # families — their model hparams live under hparams.model — and
+    # tasks/{fno,oformer}.py whose hparams are flat)
     if str(trainer_kw.get("precision", "32")) in ("bf16", "bfloat16"):
-        cfg.model.hparams.model["dtype"] = "bfloat16"
+        if "model" in cfg.model.hparams:
+            cfg.model.hparams.model["dtype"] = "bfloat16"
+        else:
+            cfg.model.hparams["dtype"] = "bfloat16"
 
     task = instantiate(cfg.model,
                        grad_clip=trainer_kw.get("gradient_clip_val"))

@@ -46,6 +46,21 @@ class TestSpectralConv:
         params = layer.init(jax.random.PRNGKey(0), x)
         assert layer.apply(params, x).shape == (B, T, X, 7)
 
+    def test_dft_matches_fft(self, monkeypatch):
+        """The truncated-DFT matmul path (MCEDM_FNO_DFT, default on) must
+        equal the rfft2 path — including at a non-square, non-power-of-two
+        shape like FnoState2d's padded (X, T+pad) grid."""
+        h, w, m1, m2 = 24, 22, 5, 6
+        layer = SpectralConv2d(5, m1, m2)
+        x = jnp.asarray(np.random.RandomState(1).randn(B, h, w, 3)
+                        .astype(np.float32))
+        params = layer.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("MCEDM_FNO_DFT", "1")
+        got = np.asarray(layer.apply(params, x))
+        monkeypatch.setenv("MCEDM_FNO_DFT", "0")
+        ref = np.asarray(layer.apply(params, x))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
 
 def fno_hparams(**kw):
     base = dict(name="fno_state_reconstr_2d", modes_1=4, modes_2=4, width=16,

@@ -57,3 +57,85 @@ class TestBf16Compute:
         # same PRNG path, same schedule; only net arithmetic differs
         mad = float(jnp.mean(jnp.abs(o32 - o16)))
         assert mad < 0.1
+
+
+class TestFamilyBf16:
+    """bf16 compute for the FNO / OFormer families (hparams['dtype'],
+    wired from trainer.precision=bf16 by run.py — round-4 TPU profile:
+    fp32 matmuls run as 3-pass bf16x3 decompositions, so explicit bf16
+    halves HBM traffic and triples MXU rate)."""
+
+    def test_fno_bf16_close_and_fp32_master(self):
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.tasks import FnoStateReconstrTask
+
+        T = X = 32
+        hp = dict(name="fno_state_reconstr_2d", modes_1=5, modes_2=5,
+                  width=8, num_layers=2, padding_t=4, padding_x=0,
+                  inst_norm=False, time_history=T, time_future=0,
+                  input_size=1, state_size=1, norm_shape=[], factor=0.3,
+                  step_size=50, loss="l1", lr=1e-3, weight_decay=0)
+        t32 = FnoStateReconstrTask(to_dotdict(dict(hp)))
+        t16 = FnoStateReconstrTask(to_dotdict(dict(hp, dtype="bfloat16")))
+        for t in (t32, t16):
+            t.set_pde_loss_function("swe_per", False)
+        state = t32.init_state(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        u = jax.random.normal(key, (2, T, X, 1))
+        s = jax.random.normal(jax.random.fold_in(key, 1), (2, T, X, 1))
+        x = jnp.broadcast_to(jnp.linspace(0, 1, X)[None], (2, X))
+        t = jnp.broadcast_to(jnp.linspace(0, 1, T)[None], (2, T))
+        p32 = t32._predict(state.params, u, x, t)
+        p16 = t16._predict(state.params, u, x, t)
+        assert p16.dtype == jnp.float32  # model returns fp32
+        np.testing.assert_allclose(np.asarray(p16), np.asarray(p32),
+                                   atol=0.02)
+        st, m = t16.train_step(state, (u, x, t, s), jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["train_loss"]))
+        for leaf in jax.tree_util.tree_leaves(st.params):
+            assert leaf.dtype == jnp.float32
+
+    def test_oformer_bf16_close_and_fp32_master(self):
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.tasks import OformerTask
+
+        T = X = 16
+        ntok = T * X
+        hp = {
+            "name": "oformer_t", "time_history": T,
+            "encoder": {"input_channels": 3, "time_window": 1,
+                        "in_emb_dim": 32, "out_channels": 32,
+                        "max_node_type": 2, "heads": 1, "depth": 2,
+                        "res": X, "use_ln": True, "emb_dropout": 0.0,
+                        "relative_emb_dim": 2},
+            "decoder": {"max_node_type": 2, "latent_channels": 32,
+                        "out_channels": 1, "res": X, "scale": 2,
+                        "dropout": 0.0, "relative_emb_dim": 2},
+            "norm_shape": [], "loss": "mse", "lr": 1e-3,
+            "weight_decay": 1e-4, "curriculum_steps": 0,
+            "curriculum_ratio": 0.2,
+        }
+        t32 = OformerTask(to_dotdict(hp))
+        t16 = OformerTask(to_dotdict(dict(hp, dtype="bfloat16")))
+        for t in (t32, t16):
+            t.set_pde_loss_function("swe_per", False)
+        state = t32.init_state(jax.random.PRNGKey(0))
+        rs = jax.random.PRNGKey(1)
+        xtok = jax.random.normal(rs, (2, 1, ntok, 3))
+        y = jax.random.normal(jax.random.fold_in(rs, 1), (2, 1, ntok, 1))
+        nt = jnp.zeros((2, ntok, 1), jnp.int32)
+        tg, xg = jnp.meshgrid(jnp.linspace(0, 1, T), jnp.linspace(0, 1, X),
+                              indexing="ij")
+        pos = jnp.broadcast_to(jnp.stack([tg, xg], -1).reshape(1, ntok, 2),
+                               (2, ntok, 2))
+        f32 = t32.model.apply(state.params, xtok, nt, nt, pos, pos, 1)
+        f16 = t16.model.apply(state.params, xtok, nt, nt, pos, pos, 1)
+        assert f16.dtype == jnp.float32
+        scale = float(jnp.abs(f32).mean())
+        assert float(jnp.abs(f16 - f32).mean()) < 0.05 * max(scale, 1.0)
+        n_time = jnp.full((2,), T, jnp.int32)
+        st, m = t16.train_step(state, (xtok, y, nt, pos, n_time),
+                               jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["train_loss"]))
+        for leaf in jax.tree_util.tree_leaves(st.params["params"]):
+            assert leaf.dtype == jnp.float32
