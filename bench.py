@@ -41,7 +41,7 @@ import numpy as np
 # persistent compilation cache: repeat bench invocations (and the driver's
 # round-end run) skip the ~60-90 s sampler compiles when supported
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache_cpu" if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", "") else "/tmp/mcedm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
@@ -92,17 +92,42 @@ def _stats(xs):
     return (statistics.median(xs), min(xs), max(xs))
 
 
-def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5):
-    """Per-iteration medians: (train_ms (med, lo, hi), sps (med, lo, hi))."""
+def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
+            chain=16):
+    """Medians: (train_ms steady-state (med, lo, hi),
+                 train_ms latency (med, lo, hi), sps (med, lo, hi)).
+
+    Train is measured two ways (VERDICT r3 #1/#3):
+      * steady-state (the headline `*_train_step_ms`): `chain` dispatches
+        whose states feed each other, ONE final scalar materialization,
+        wall/chain — what a real training loop achieves with async
+        dispatch (the final float() forces the whole chain; states are
+        data-dependent so no dispatch can be skipped).
+      * latency (`*_train_step_latency_ms`): one synchronous step with a
+        per-iteration host materialization (the old protocol) — this
+        includes ~15-18 ms of host dispatch overhead beyond the measured
+        tiny-jit round-trip and overstates the device cost ~1.8x.
+    """
     h, grid_t, grid_x, u = batch
+    state0 = state
     state, m = task.train_step(state, batch, jax.random.PRNGKey(2))
     float(m["train_loss"])  # warmup/compile
-    train_ts = []
+    lat_ts = []
     for i in range(n_train):
         t0 = time.perf_counter()
         state, metrics = task.train_step(state, batch, jax.random.PRNGKey(3 + i))
         float(metrics["train_loss"])
-        train_ts.append(max((time.perf_counter() - t0 - roundtrip_s) * 1e3, 1e-3))
+        lat_ts.append(max((time.perf_counter() - t0 - roundtrip_s) * 1e3, 1e-3))
+    keys = [jax.random.PRNGKey(1000 + i) for i in range(chain)]
+    train_ts = []
+    for _ in range(3):
+        s = state0
+        t0 = time.perf_counter()
+        for k in keys:
+            s, metrics = task.train_step(s, batch, k)
+        float(metrics["train_loss"])
+        dt = time.perf_counter() - t0 - roundtrip_s
+        train_ts.append(max(dt * 1e3 / chain, 1e-3))
 
     mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
                             jnp.ones((B, RES, RES, 1))], axis=-1)
@@ -116,7 +141,7 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5):
         t0 = time.perf_counter()
         float(sample_fn(state, cond, mask, jax.random.PRNGKey(6 + i)))
         sps.append(B / max(time.perf_counter() - t0 - roundtrip_s, 1e-6))
-    return _stats(train_ts), _stats(sps)
+    return _stats(train_ts), _stats(lat_ts), _stats(sps)
 
 
 def _ca(lowered):
@@ -127,15 +152,28 @@ def _ca(lowered):
 
 
 def cost_analysis(task, task_off, state, batch):
-    """(train_flops, train_bytes, fwd_flops, fwd_bytes) via XLA.
+    """Cost model of the train step and one net forward (VERDICT r3 #3).
 
-    `bytes accessed` comes from the production (kernel-bearing) graph of
-    `task`; `flops` from `task_off` (kernels disabled, identical math) —
-    XLA's cost analysis cannot see inside Pallas custom calls, so the
-    production graph under-reports flops. None on backends without cost
-    analysis.
+    Returns a dict with, for each of {train, fwd}:
+      * `*_flops`          — ALGORITHMIC flops (pure-XLA trace of the
+        identical math with kernels disabled): the useful work, used for
+        the honest MFU.
+      * `*_flops_executed` — flops the hardware actually runs: the
+        production graph's XLA flops plus the Pallas ledger's executed
+        matmul flops (the paired kernels' tap matrices are half structural
+        zeros, so their executed conv flops are 2x algorithmic). Used for
+        `bound_by` — distance from the MXU limit is set by executed work.
+      * `*_bytes`          — production-graph XLA `bytes accessed` PLUS the
+        ledger's custom-call operand/result bytes (XLA reports
+        bytes_accessed=0 for custom calls; this was the BENCH_r02 vs r03
+        `sampling_hbm_bw_util` discrepancy).
+
+    The ledger records at TRACE time, so every graph is traced through a
+    fresh jit wrapper (a cached jit would skip tracing and record nothing).
+    Values are None on backends without cost analysis.
     """
     from m_cedm_tpu.models.layers import disable_conv_fusion
+    from m_cedm_tpu.pallas import ledger
 
     task_off = task_off or task
     rng = jax.random.PRNGKey(2)
@@ -143,32 +181,49 @@ def cost_analysis(task, task_off, state, batch):
     sig = jnp.full((B,), 1.5)
     cond = jnp.zeros((B, RES, RES, 2))
 
-    def fwd_of(t):
-        return jax.jit(lambda p, x, s, c: t.model_precond(p, x, s, c))
+    def lower_train(t):
+        raw = type(t).train_step
+        raw = getattr(raw, "__wrapped__", raw)
+        return jax.jit(lambda s, b_, r: raw(t, s, b_, r)).lower(
+            state, batch, rng)
 
+    def lower_fwd(t):
+        return jax.jit(lambda p, x, s, c: t.model_precond(p, x, s, c)).lower(
+            state.params, x, sig, cond)
+
+    out = {}
     try:
-        tb = float(_ca(type(task).train_step.lower(task, state, batch, rng)
-                       ).get("bytes accessed", 0))
-        fb = float(_ca(fwd_of(task).lower(state.params, x, sig, cond)
-                       ).get("bytes accessed", 0))
+        ledger.reset()
+        low = lower_train(task)
+        kfl_t, kby_t = ledger.totals()
+        ca = _ca(low)
+        ledger.reset()
+        low = lower_fwd(task)
+        kfl_f, kby_f = ledger.totals()
+        caf = _ca(low)
+        ledger.stop()
+        out["train_bytes"] = float(ca.get("bytes accessed", 0)) + kby_t
+        out["fwd_bytes"] = float(caf.get("bytes accessed", 0)) + kby_f
+        out["train_flops_executed"] = float(ca.get("flops", 0)) + kfl_t
+        out["fwd_flops_executed"] = float(caf.get("flops", 0)) + kfl_f
     except Exception:
-        tb = fb = None
+        ledger.stop()
     prev_flag = os.environ.get("MCEDM_PALLAS")
     os.environ["MCEDM_PALLAS"] = "0"  # pure-XLA traces: full flop counts
     try:
         with disable_conv_fusion():
-            tf = float(_ca(type(task_off).train_step.lower(
-                task_off, state, batch, rng)).get("flops", 0))
-            ff = float(_ca(fwd_of(task_off).lower(state.params, x, sig, cond)
-                           ).get("flops", 0))
+            out["train_flops"] = float(_ca(lower_train(task_off)
+                                           ).get("flops", 0))
+            out["fwd_flops"] = float(_ca(lower_fwd(task_off)
+                                         ).get("flops", 0))
     except Exception:
-        tf = ff = None
+        pass
     finally:
         if prev_flag is None:
             os.environ.pop("MCEDM_PALLAS", None)
         else:
             os.environ["MCEDM_PALLAS"] = prev_flag
-    return tf, tb, ff, fb
+    return out
 
 
 def _probe_pallas():
@@ -223,6 +278,255 @@ def make_task(dtype=None, pallas=None):
     return task
 
 
+def make_ddim_task(dtype="bfloat16"):
+    """DDPM-family joint task at the bench shape (also used by
+    tools/bench_ddim_ab.py)."""
+    from m_cedm_tpu.tasks import DdimTask
+
+    hp = flagship_hparams()
+    hp["name"] = "ddim"
+    hp["model"]["type"] = "simple"
+    hp["model"]["var_type"] = "fixedsmall"
+    hp["model"]["cond_channels"] = 0
+    hp["model"]["cat_cond"] = False
+    for k in ("self_cond", "node_type", "dx_cond", "cat_dx",
+              "add_cond_mask", "add_xt"):
+        hp["model"][k] = False
+    if dtype == "bfloat16":
+        hp["model"]["dtype"] = "bfloat16"
+    hp["diffusion"] = {"beta_schedule": "linear", "beta_start": 1e-4,
+                       "beta_end": 0.02, "num_diffusion_timesteps": 1000}
+    hp["sampler"]["type"] = "ddim"
+    hp["sampler"]["skip_type"] = "uniform"
+    hp["sampler"]["eta"] = 0.0
+    hp["sampler"]["timesteps"] = 50
+    hp["sampler"]["n_time_h"] = RES
+    hp["sampler"]["n_time_u"] = 0
+    task = DdimTask(hp)
+    task.set_pde_loss_function("swe_per", False)
+    return task
+
+
+def _timed_reps(fn, roundtrip_s, n=3):
+    """Median/min/max ms over n reps of fn() (each must materialize a
+    host scalar); first call (compile) excluded."""
+    fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(max((time.perf_counter() - t0 - roundtrip_s) * 1e3, 1e-3))
+    return _stats(ts)
+
+
+def _chained_train_ms(task, state, batch, roundtrip_s, chain=8, reps=2):
+    """Steady-state train-step ms (same chained protocol as measure())."""
+    state1, m = task.train_step(state, batch, jax.random.PRNGKey(2))
+    float(next(iter(m.values())))
+    keys = [jax.random.PRNGKey(100 + i) for i in range(chain)]
+    ts = []
+    for _ in range(reps):
+        s = state
+        t0 = time.perf_counter()
+        for k in keys:
+            s, m = task.train_step(s, batch, k)
+        float(next(iter(m.values())))
+        ts.append(max((time.perf_counter() - t0 - roundtrip_s) * 1e3 / chain,
+                      1e-3))
+    return _stats(ts)
+
+
+def bench_ddpm_family(roundtrip_s):
+    """DDPM joint 50-step DDIM sampler throughput (VERDICT r3 #5: promotes
+    the tools/bench_ddim_ab.py A/B number to an official JSON key)."""
+    task = make_ddim_task("bfloat16")
+    state = task.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    h = jax.random.normal(key, (B, RES, RES, 1)) + 1.5
+    u = jax.random.normal(jax.random.fold_in(key, 1), (B, RES, RES, 1)) * 0.1
+    hu = task.transform.forward(state, h, u)
+    h_only = hu[..., :task.h_ch]
+    fn = jax.jit(lambda s, x, k: jnp.sum(task.sample(s, x, k)))
+    med, lo, hi = _timed_reps(
+        lambda: float(fn(state, h_only, jax.random.PRNGKey(6))), roundtrip_s)
+    return {"ddpm_ddim_samples_per_sec": round(B / (med / 1e3), 3),
+            "ddpm_ddim_ms": round(med, 1),
+            "ddpm_ddim_ms_min": round(lo, 1), "ddpm_ddim_ms_max": round(hi, 1)}
+
+
+def make_fno_setup(nb=32, dtype=None):
+    """(task, state, batch) for FNO-2D at the production shape
+    (configs/model/fnostatereconstr2d.yaml: modes 12, width 32, 5 layers,
+    T=X=128, datamodule batch 32). Shared by bench_fno_family and
+    tools/profile_family.py. dtype None reads MCEDM_FNO_BF16 (default on;
+    see tools/bench_family_ab.py for the same-session A/B record; bf16
+    parity pinned by tests/test_precision.py::TestFamilyBf16)."""
+    from m_cedm_tpu.tasks import FnoStateReconstrTask
+
+    if dtype is None:
+        dtype = ("bfloat16" if os.environ.get("MCEDM_FNO_BF16", "1") != "0"
+                 else "float32")
+    T = RES
+    hp = to_dotdict(dict(
+        name="fno_state_reconstr_2d", modes_1=12, modes_2=12, width=32,
+        num_layers=5, padding_t=4, padding_x=0, inst_norm=False,
+        time_history=T, time_future=0, input_size=1, state_size=1,
+        norm_shape=[], factor=0.3, step_size=50, loss="l1", lr=1e-3,
+        weight_decay=0, dtype=dtype))
+    task = FnoStateReconstrTask(hp)
+    task.set_pde_loss_function("swe_per", False)
+    state = task.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    u = jax.random.normal(key, (nb, T, RES, 1))
+    s = jax.random.normal(jax.random.fold_in(key, 1), (nb, T, RES, 1))
+    x = jnp.broadcast_to(jnp.linspace(0, 1, RES)[None], (nb, RES))
+    t = jnp.broadcast_to(jnp.linspace(0, 1, T)[None], (nb, T))
+    return task, state, (u, x, t, s)
+
+
+def bench_fno_family(roundtrip_s):
+    """FNO-2D: steady-state train-step ms + inference throughput. Hot loop
+    anchor: reference models/fno_2d.py:40-55 (spectral conv einsums)."""
+    nb = 32
+    task, state, batch = make_fno_setup(nb)
+    u, x, t, s = batch
+
+    (tms, _, _) = _chained_train_ms(task, state, batch, roundtrip_s)
+    infer = jax.jit(lambda p, u_, x_, t_: jnp.sum(task._predict(p, u_, x_, t_)))
+    med, _, _ = _timed_reps(lambda: float(infer(state.params, u, x, t)),
+                            roundtrip_s)
+    return {"fno_train_step_ms": round(tms, 3),
+            "fno_infer_samples_per_sec": round(nb / (med / 1e3), 3),
+            "fno_batch": nb}
+
+
+def _oformer_enc_dec(tok_res, T):
+    return to_dotdict({
+        "name": "oformer_t", "time_history": T,
+        "encoder": {"input_channels": 3, "time_window": 1,
+                    "in_emb_dim": 128, "out_channels": 128,
+                    "max_node_type": 2, "heads": 1, "depth": 4,
+                    "res": tok_res, "use_ln": True, "emb_dropout": 0.0,
+                    "relative_emb_dim": 2},
+        "decoder": {"max_node_type": 2, "latent_channels": 128,
+                    "out_channels": 1, "res": tok_res, "scale": 2,
+                    "dropout": 0.1, "relative_emb_dim": 2},
+        "norm_shape": [], "loss": "mse", "lr": 1e-3, "weight_decay": 1e-4,
+        "curriculum_steps": 0, "curriculum_ratio": 0.2,
+    })
+
+
+def make_oformer_setup(nb=16, dtype=None):
+    """(task, state, batch) for OFormer at the production shape
+    (configs/model/oformer_t.yaml: dim 128, depth 4, 128x128 grid = 16384
+    tokens, datamodule batch 16). Shared by bench_oformer_family and
+    tools/profile_family.py. dtype None reads MCEDM_OFORMER_BF16 (default
+    on; see tools/bench_family_ab.py for the same-session A/B record; bf16
+    parity pinned by tests/test_precision.py::TestFamilyBf16)."""
+    from m_cedm_tpu.tasks import OformerTask
+
+    if dtype is None:
+        dtype = ("bfloat16"
+                 if os.environ.get("MCEDM_OFORMER_BF16", "1") != "0"
+                 else "float32")
+    T = RES
+    ntok = T * RES
+    hp = _oformer_enc_dec(RES, T)
+    hp["dtype"] = dtype
+    task = OformerTask(hp)
+    task.set_pde_loss_function("swe_per", False)
+    state = task.init_state(jax.random.PRNGKey(0))
+    rs = jax.random.PRNGKey(1)
+    xtok = jax.random.normal(rs, (nb, 1, ntok, 3))
+    y = jax.random.normal(jax.random.fold_in(rs, 1), (nb, 1, ntok, 1))
+    nt = jnp.zeros((nb, ntok, 1), jnp.int32)
+    tg, xg = jnp.meshgrid(jnp.linspace(0, 1, T), jnp.linspace(0, 1, RES),
+                          indexing="ij")
+    pos = jnp.broadcast_to(jnp.stack([tg, xg], -1).reshape(1, ntok, 2),
+                           (nb, ntok, 2))
+    n_time = jnp.full((nb,), T, jnp.int32)
+    return task, state, (xtok, y, nt, pos, n_time)
+
+
+def bench_oformer_family(roundtrip_s):
+    """OFormer: steady-state train-step ms + full-grid inference throughput
+    + a 64->64-step time-pred rollout. Hot loop anchor: reference
+    models/oformer.py:319-327 (Galerkin linear attention)."""
+    from m_cedm_tpu.tasks import OformerTimePredTask
+
+    nb, T = 16, RES
+    task, state, batch = make_oformer_setup(nb)
+    xtok, y, nt, pos, n_time = batch
+    rs = jax.random.PRNGKey(1)
+
+    def enc_dec(tok_res):
+        return _oformer_enc_dec(tok_res, T)
+
+    (tms, _, _) = _chained_train_ms(task, state, batch, roundtrip_s,
+                                    chain=4, reps=2)
+    infer = jax.jit(lambda s, b: jnp.sum(task.model.apply(
+        s.params, b[0], b[2], b[2], b[3], b[3], 1)))
+    med, _, _ = _timed_reps(lambda: float(infer(state, batch)), roundtrip_s)
+    out = {"oformer_train_step_ms": round(tms, 3),
+           "oformer_infer_samples_per_sec": round(nb / (med / 1e3), 3),
+           "oformer_batch": nb}
+
+    # time-pred rollout: 64 history steps -> 64 future steps at X=128
+    nh = T // 2
+    tp = OformerTimePredTask(enc_dec(RES))
+    tp.set_pde_loss_function("swe_per", False)
+    tstate = tp.init_state(jax.random.PRNGKey(0))
+    xh = jax.random.normal(rs, (nb, 1, nh * RES, 3))
+    nth = jnp.zeros((nb, nh * RES, 1), jnp.int32)
+    ph = pos[:, :nh * RES]
+    pf = pos[:, nh * RES:]
+    roll = jax.jit(lambda s: jnp.sum(tp.model.apply(
+        s.params, xh, nth, nth, ph, pf, nh)))
+    med, _, _ = _timed_reps(lambda: float(roll(tstate)), roundtrip_s)
+    out["oformer_rollout_samples_per_sec"] = round(nb / (med / 1e3), 3)
+    out["oformer_rollout_steps"] = nh
+    return out
+
+
+FAMILY_BASELINE_FILE = os.path.join(_HERE, "bench_families_baseline.json")
+
+
+def family_metrics(roundtrip_s):
+    """Per-family official numbers (VERDICT r3 #5), each with a frozen
+    first-recording baseline (bench_families_baseline.json — written once,
+    never rewritten, like bench_baseline.json)."""
+    import sys
+
+    out = {}
+    for fn in (bench_ddpm_family, bench_fno_family, bench_oformer_family):
+        try:
+            out.update(fn(roundtrip_s))
+        except Exception as e:  # pragma: no cover - device-specific
+            print(f"# {fn.__name__} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    baseline = None
+    if os.path.exists(FAMILY_BASELINE_FILE):
+        with open(FAMILY_BASELINE_FILE) as f:
+            baseline = json.load(f)
+    if baseline is None and out:
+        baseline = dict(out)
+        try:
+            with open(FAMILY_BASELINE_FILE, "w") as f:
+                json.dump(baseline, f, indent=2)
+        except OSError:
+            pass
+    if baseline:
+        for k in ("ddpm_ddim_samples_per_sec", "fno_infer_samples_per_sec",
+                  "oformer_infer_samples_per_sec",
+                  "oformer_rollout_samples_per_sec"):
+            if k in out and baseline.get(k):
+                out[f"{k}_vs_baseline"] = round(out[k] / baseline[k], 3)
+        for k in ("fno_train_step_ms", "oformer_train_step_ms"):
+            if k in out and baseline.get(k):
+                out[f"{k}_vs_baseline"] = round(baseline[k] / out[k], 3)
+    return out
+
+
 def main():
     _probe_pallas()
     pallas_ok = os.environ.get("MCEDM_PALLAS", "auto") != "0"
@@ -246,21 +550,26 @@ def main():
 
     # fp32 (kernels as probed), bf16 production (kernels on), bf16 kernels off
     task32 = make_task()
-    (t32, t32_lo, t32_hi), (s32, s32_lo, s32_hi) = measure(
-        task32, state, batch, roundtrip_s)
+    (t32, t32_lo, t32_hi), (tl32, tl32_lo, tl32_hi), (s32, s32_lo, s32_hi) = \
+        measure(task32, state, batch, roundtrip_s)
     task16 = make_task("bfloat16")
-    (t16, t16_lo, t16_hi), (s16, s16_lo, s16_hi) = measure(
-        task16, state, batch, roundtrip_s)
+    (t16, t16_lo, t16_hi), (tl16, tl16_lo, tl16_hi), (s16, s16_lo, s16_hi) = \
+        measure(task16, state, batch, roundtrip_s)
     if pallas_ok:
         task16_off = make_task("bfloat16", pallas=False)
-        (t16o, _, _), (s16o, _, _) = measure(task16_off, state, batch,
-                                             roundtrip_s, n_train=5, n_sample=3)
+        (t16o, _, _), _, (s16o, _, _) = measure(task16_off, state, batch,
+                                                roundtrip_s, n_train=5,
+                                                n_sample=3)
         os.environ["MCEDM_PALLAS"] = "1"
     else:
         task16_off = None
         t16o = s16o = None
 
-    tf, tb, ff, fb = cost_analysis(task16, task16_off, state, batch)
+    costs = cost_analysis(task16, task16_off, state, batch)
+    tf, tb = costs.get("train_flops"), costs.get("train_bytes")
+    ff, fb = costs.get("fwd_flops"), costs.get("fwd_bytes")
+    tfe = costs.get("train_flops_executed")
+    ffe = costs.get("fwd_flops_executed")
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -292,6 +601,13 @@ def main():
         "bf16_train_step_ms": round(t16, 3),
         "bf16_train_step_ms_min": round(t16_lo, 3),
         "bf16_train_step_ms_max": round(t16_hi, 3),
+        "bf16_train_step_latency_ms": round(tl16, 3),
+        "bf16_train_step_latency_ms_min": round(tl16_lo, 3),
+        "bf16_train_step_latency_ms_max": round(tl16_hi, 3),
+        "fp32_train_step_latency_ms": round(tl32, 3),
+        "train_protocol": ("steady-state: 16 data-dependent chained "
+                           "dispatches, one final materialization, "
+                           "wall/16; latency kept as *_latency_ms"),
         "fp32_samples_per_sec": round(s32, 3),
         "fp32_samples_per_sec_min": round(s32_lo, 3),
         "fp32_samples_per_sec_max": round(s32_hi, 3),
@@ -310,21 +626,39 @@ def main():
         out["pallas_off_bf16_samples_per_sec"] = round(s16o, 3)
         out["pallas_train_speedup"] = round(t16o / t16, 3)
         out["pallas_sampling_speedup"] = round(s16 / s16o, 3)
-    # roofline: MFU + achieved HBM bandwidth
+    # roofline: MFU (algorithmic = useful work; executed = incl. the paired
+    # kernels' structural-zero flops + ledger-counted custom-call bytes —
+    # see cost_analysis docstring) + achieved HBM bandwidth
     if tf:
         out["train_step_flops"] = tf
         out["train_step_bytes"] = tb
         out["mfu_train"] = round(tf / (t16 * 1e-3) / PEAK_BF16_FLOPS, 4)
         out["train_hbm_bw_util"] = round(tb / (t16 * 1e-3) / PEAK_HBM_BW, 4)
+        if tfe:
+            out["train_step_flops_executed"] = tfe
+            out["mfu_train_executed"] = round(
+                tfe / (t16 * 1e-3) / PEAK_BF16_FLOPS, 4)
+            out["bound_by_train"] = (
+                "hbm_bandwidth"
+                if tb / PEAK_HBM_BW > tfe / PEAK_BF16_FLOPS else "mxu_flops")
     if ff:
         out["fwd_flops"] = ff
         out["fwd_bytes"] = fb
         fwd_s = B / s16 / (2 * HEUN_STEPS - 1)  # net calls per Heun run
         out["mfu_sampling"] = round(ff / fwd_s / PEAK_BF16_FLOPS, 4)
         out["sampling_hbm_bw_util"] = round(fb / fwd_s / PEAK_HBM_BW, 4)
-        out["bound_by"] = ("hbm_bandwidth"
-                           if ff / max(fb, 1.0) < PEAK_BF16_FLOPS / PEAK_HBM_BW
-                           else "mxu_flops")
+        if ffe:
+            out["fwd_flops_executed"] = ffe
+            out["mfu_sampling_executed"] = round(
+                ffe / fwd_s / PEAK_BF16_FLOPS, 4)
+        out["bound_by"] = (
+            "hbm_bandwidth"
+            if fb / PEAK_HBM_BW > (ffe or ff) / PEAK_BF16_FLOPS
+            else "mxu_flops")
+    # per-family coverage (DDPM/FNO/OFormer; MCEDM_BENCH_FAMILIES=0 skips
+    # for quick flagship-only iterations)
+    if os.environ.get("MCEDM_BENCH_FAMILIES", "1") != "0":
+        out.update(family_metrics(roundtrip_s))
     # measured torch-reference anchor
     if reference:
         out["ref_train_step_ms"] = round(reference["ref_train_step_ms"], 1)

@@ -23,6 +23,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from m_cedm_tpu.pallas import ledger
 from m_cedm_tpu.pallas.fused_norm import pallas_enabled
 
 try:
@@ -94,6 +95,9 @@ def _block_specs(n, l, d):
 def _pallas_fwd(q, k, v):
     n, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
+    # qk^T + av: 2 matmuls of (L,L,D) per head-batch
+    ledger.track(2 * 2 * n * l * l * d, q, k, v,
+                 jax.ShapeDtypeStruct(q.shape, q.dtype))
     spec = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -108,6 +112,9 @@ def _pallas_fwd(q, k, v):
 def _pallas_bwd(q, k, v, g):
     n, l, d = q.shape
     scale = 1.0 / math.sqrt(d)
+    # recompute (2) + dv/dw/dq/dk (4): 6 (L,L,D) matmuls per head-batch
+    ledger.track(6 * 2 * n * l * l * d, q, k, v, g,
+                 [jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3)
     spec = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from m_cedm_tpu.pallas import ledger
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -202,6 +204,7 @@ def _specs(b, n, c, tile):
 def _compute_stats(x, tile):
     b, n, c = x.shape
     x_spec, vec_spec, _ = _specs(b, n, c, tile)
+    ledger.track(0, x)
     return pl.pallas_call(
         _stats_kernel,
         grid=(b, n // tile),
@@ -244,6 +247,7 @@ def _pair_gmat2(num_groups, c):
 
 def _pallas_forward(x, gamma, beta, num_groups, eps, tile, stats=None):
     b, n, c = x.shape
+    ledger.track(0, x, jax.ShapeDtypeStruct(x.shape, x.dtype))
     tile2 = _pair_tile(n)
     if tile2 is not None:
         sums, sumsq = (stats if stats is not None else _pair_stats(x, tile2))
@@ -274,6 +278,7 @@ def _pallas_forward(x, gamma, beta, num_groups, eps, tile, stats=None):
 
 def _pallas_backward(x, gamma, beta, sums, sumsq, g, num_groups, eps, tile):
     b, n, c = x.shape
+    ledger.track(0, x, g, x, g, jax.ShapeDtypeStruct(x.shape, x.dtype))
     tile2 = _pair_tile(n)
     if tile2 is not None:
         # paired-lane backward: per-parity dgamma/dbeta/s1/s2 fold to full

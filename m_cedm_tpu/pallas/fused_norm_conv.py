@@ -50,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from m_cedm_tpu.pallas import ledger
 from m_cedm_tpu.pallas.fused_norm import (
     _compute_stats,
     _gc,
@@ -180,7 +181,8 @@ def _compiler_params(r: int, wdt: int, c: int):
 
 def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
                  res_mode: str = "none", emit_stats: bool = False,
-                 dual: bool = False, act: bool = True):
+                 dual: bool = False, act: bool = True,
+                 sh_halves: tuple = ()):
     """Row-tiled fused norm+silu+conv: grid (B, H/R). The halo rows ride in
     as thin pre-sliced (B, n_tiles, W, C) row arrays (xp = last row of the
     tile above, xn = first row of the tile below) — fetching them as whole
@@ -311,22 +313,47 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
     # rejects 1D blocks and >2D ref indexing here. In dual mode each tap's
     # C weight rows split into the x1 rows and the x2 rows.
     acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r * wdt, o))
-    for dr in range(3):
-        for dw in range(3):
-            blk = jax.lax.slice(ypad, (dr, dw, 0), (dr + r, dw + wdt, c1))
-            blk = blk.reshape(r * wdt, c1)
-            wk = w_ref[pl.ds((dr * 3 + dw) * c, c1), :]
-            acc = acc + jax.lax.dot_general(
-                blk, wk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if dual:
-                blk2 = jax.lax.slice(ypad2, (dr, dw, 0),
-                                     (dr + r, dw + wdt, c2))
-                blk2 = blk2.reshape(r * wdt, c2)
-                wk2 = w_ref[pl.ds((dr * 3 + dw) * c + c1, c2), :]
+    if sh_halves:
+        # shifted-pair taps (see _pair_weights_shifted): build the one-pixel
+        # shifted strip ysh (lane-half swap + column shift, once per tile —
+        # per dual-order half when sh_halves has two entries) and run 6
+        # dense (2C, 2O) matmuls instead of 9 half-zero ones
+        parts = []
+        off = 0
+        for hw in sh_halves:
+            half = hw // 2
+            parts.append(jax.lax.slice(
+                ypad, (0, 0, off + half), (2 + r, wdt + 1, off + hw)))
+            parts.append(jax.lax.slice(
+                ypad, (0, 1, off), (2 + r, wdt + 2, off + half)))
+            off += hw
+        ysh = (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+               else parts[0])
+        for dr in range(3):
+            for s in range(2):
+                blk = jax.lax.slice(ysh, (dr, s, 0), (dr + r, s + wdt, c1))
+                blk = blk.reshape(r * wdt, c1)
+                wk = w_ref[pl.ds((dr * 2 + s) * c, c1), :]
                 acc = acc + jax.lax.dot_general(
-                    blk2, wk2, (((1,), (0,)), ((), ())),
+                    blk, wk, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+    else:
+        for dr in range(3):
+            for dw in range(3):
+                blk = jax.lax.slice(ypad, (dr, dw, 0), (dr + r, dw + wdt, c1))
+                blk = blk.reshape(r * wdt, c1)
+                wk = w_ref[pl.ds((dr * 3 + dw) * c, c1), :]
+                acc = acc + jax.lax.dot_general(
+                    blk, wk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if dual:
+                    blk2 = jax.lax.slice(ypad2, (dr, dw, 0),
+                                         (dr + r, dw + wdt, c2))
+                    blk2 = blk2.reshape(r * wdt, c2)
+                    wk2 = w_ref[pl.ds((dr * 3 + dw) * c + c1, c2), :]
+                    acc = acc + jax.lax.dot_general(
+                        blk2, wk2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
     if res_mode == "identity":
         acc = acc + res_ref[0].astype(jnp.float32).reshape(r * wdt, o)
     elif res_mode == "identity_up":
@@ -378,7 +405,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                  skip_w=None, skip_b=None, res_mode="none",
                  emit_stats=False, stats=None,
                  gmat_arr=None, n_full=None, res_pre_up=False,
-                 act=True):
+                 act=True, sh_halves=None):
     """x2: second half of an unmaterialized channel concat — gamma/beta/
     stats/w are for the combined (C1+C2) input. residual2: second half of an
     unmaterialized concat residual (res_mode='proj2').
@@ -422,7 +449,8 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
             else jnp.asarray(_group_matrix(num_groups, c)))
     # weights in the network dtype — the kernel's matmuls run at native MXU
     # rate for bf16 (fp32 nets keep fp32 weights and fp32 dots)
-    w2 = w.astype(x.dtype).reshape(9 * c, o)  # (dr, dw, C, O) row-major
+    n_taps = 6 if sh_halves else 9
+    w2 = w.astype(x.dtype).reshape(n_taps * c, o)  # (dr, tap, C, O) row-major
     bias2 = (bias if bias is not None
              else jnp.zeros((o,))).astype(jnp.float32).reshape(1, o)
 
@@ -445,7 +473,7 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                             memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((c, c), lambda i, t: (0, 0),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((9 * c, o), lambda i, t: (0, 0),
+    w_spec = pl.BlockSpec((n_taps * c, o), lambda i, t: (0, 0),
                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, o), lambda i, t: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -495,10 +523,15 @@ def _pallas_gnsc(x, gamma, beta, w, bias, num_groups, eps,
                      jax.ShapeDtypeStruct((b, o), jnp.float32),
                      jax.ShapeDtypeStruct((b, o), jnp.float32)]
     cp = _compiler_params(r, wdt, c)
+    ledger.track(2 * n_taps * b * h * wdt * c * o
+                 + (2 * b * h * wdt * crs * o
+                    if res_mode in ("proj", "proj2") else 0),
+                 inputs, out_shape)
     return pl.pallas_call(
         functools.partial(_gnsc_kernel, n=n, eps=eps, n_tiles=n_tiles,
                           res_mode=res_mode, emit_stats=emit_stats,
-                          dual=x2 is not None, act=act),
+                          dual=x2 is not None, act=act,
+                          sh_halves=tuple(sh_halves or ())),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -591,6 +624,56 @@ def _pair_weights(w):
     return jnp.stack(rows)
 
 
+def shifted_pair_enabled() -> bool:
+    """MCEDM_SHPAIR gates the shifted-pair tap layout for paired convs
+    (plain and dual-order): the classic paired tap matrix runs 9 (2C, 2O) matmuls of
+    which half the blocks are structural zeros (2x executed flops); pairing
+    the stencil against a one-PIXEL-shifted view of the strip (ysh_j =
+    [x_{2j+1}, x_{2j+2}] — a lane-half swap + column shift built once per
+    tile in VMEM) covers the same 6 algorithmic blocks with 6 full (2C, 2O)
+    matmuls (3/4 dense, 1.33x padding): 33% less executed MXU work per conv.
+    Default OFF pending the same-session A/B (VERDICT r3 #4 asked for a
+    measurement, not a prediction)."""
+    import os
+
+    return os.environ.get("MCEDM_SHPAIR", "0") == "1"
+
+
+def _pair_weights_shifted_split(w, splits):
+    """Shifted-pair tap blocks for a dual-order layout: per-half shifted
+    blocks stacked along the rows ([x1 2C1 rows; x2 2C2 rows] — matching
+    the kernel's per-half [p1(s), p0(s+1)] shifted-strip lane order)."""
+    if splits is None:
+        return _pair_weights_shifted(w)
+    c1, _ = splits
+    return jnp.concatenate([_pair_weights_shifted(w[:, :, :c1, :]),
+                            _pair_weights_shifted(w[:, :, c1:, :])], axis=2)
+
+
+def _pair_weights_shifted(w):
+    """(3, 3, C, O) -> (3, 2, 2C, 2O) shifted-pair tap blocks.
+
+    Output pair j = pixels (2j, 2j+1); shifted input pair ysh_s =
+    [x_{2s+1}, x_{2s+2}]. Out pixel 2j needs x_{2j-1} w0 + x_{2j} w1 +
+    x_{2j+1} w2 and pixel 2j+1 needs x_{2j} w0 + x_{2j+1} w1 + x_{2j+2} w2,
+    so with rows [p0; p1] and cols [q0 | q1]:
+      tap A (ysh_{j-1}): [[w0, 0], [w1, w0]]
+      tap B (ysh_j):     [[w2, w1], [0, w2]]
+    — every x pixel is covered by exactly these two taps (the center w1
+    contributions ride in the shifted taps)."""
+    c, o = w.shape[2], w.shape[3]
+    z = jnp.zeros((c, o), w.dtype)
+    rows = []
+    for dr in range(3):
+        w0, w1, w2_ = w[dr, 0], w[dr, 1], w[dr, 2]
+        tap_a = jnp.concatenate([jnp.concatenate([w0, z], axis=-1),
+                                 jnp.concatenate([w1, w0], axis=-1)], axis=0)
+        tap_b = jnp.concatenate([jnp.concatenate([w2_, w1], axis=-1),
+                                 jnp.concatenate([z, w2_], axis=-1)], axis=0)
+        rows.append(jnp.stack([tap_a, tap_b]))
+    return jnp.stack(rows)
+
+
 def _pair_skip(skw):
     """(Cr, O) -> (2Cr, 2O) block-diagonal 1x1-projection weights (parity
     is preserved by a 1x1 conv)."""
@@ -655,10 +738,12 @@ def _compute_stats_4d(xp):
                           memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((b, c2), lambda i, t: (0, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, c2), jnp.float32)] * 2
+    ledger.track(0, xp, out_shape)
     return pl.pallas_call(
         _stats4_kernel, grid=(b, h // r),
         in_specs=[x_spec], out_specs=[vec_spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((b, c2), jnp.float32)] * 2,
+        out_shape=out_shape,
         compiler_params=_compiler_params(r, w2, c2))(xp)
 
 
@@ -783,7 +868,8 @@ def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
         if stats is None:
             stats = _paired_stats(x)
         stats_p = (_pair_vec(stats[0]), _pair_vec(stats[1]))
-        w_p = _pair_weights(w)
+        sh = (2 * c,) if shifted_pair_enabled() else None
+        w_p = _pair_weights_shifted(w) if sh else _pair_weights(w)
         gamma_p, beta_p = _pair_vec(gamma), _pair_vec(beta)
         gmat_p = jnp.asarray(_pair_gmat(num_groups, c))
         skw_p = _pair_skip(skip_w) if skip_w is not None else None
@@ -800,6 +886,7 @@ def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
 
         stats_p = (dual_vec(stats[0]), dual_vec(stats[1]))
         gamma_p, beta_p = dual_vec(gamma), dual_vec(beta)
+        sh = None  # dual two-tensor inputs keep the classic taps
         # per-half paired tap weights stacked per tap (the dual kernel
         # contracts the first 2C1 rows against x1 and the rest against x2)
         w_p = jnp.concatenate([_pair_weights(w[:, :, :c1, :]),
@@ -845,7 +932,7 @@ def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
         res_mode=res_mode, emit_stats=emit_stats,
         stats=stats_p,
         gmat_arr=gmat_p,
-        n_full=h * wdt, **kw)
+        n_full=h * wdt, sh_halves=sh, **kw)
     if emit_stats:
         outp, osums, osumsq = out
         return [outp.reshape(b, h, wdt, o),
@@ -979,13 +1066,16 @@ def _pallas_gnsc_up(x, gamma, beta, w, bias, num_groups, eps, stats=None):
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 2 * r, 2 * wdt, o), lambda i, t: (i, t, 0, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, o), x.dtype)
+    ledger.track(2 * 9 * (b * 2 * h * 2 * wdt) * c * o,
+                 [xw, gamma, beta, sums, sumsq, gmat, w2, bias2], out_shape)
     return pl.pallas_call(
         functools.partial(_gnsc_up_kernel, n=n, eps=eps, n_tiles=n_tiles),
         grid=(b, n_tiles),
         in_specs=[hp, x_spec, hn, vec_spec, vec_spec, vec_spec, vec_spec,
                   mat_spec, w_spec, bias_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wdt, o), x.dtype),
+        out_shape=out_shape,
         compiler_params=_compiler_params(2 * r, 2 * wdt, c),
     )(x_prev, xw, x_next, gamma, beta, sums, sumsq, gmat, w2, bias2)
 
@@ -1313,6 +1403,9 @@ def _bwd_phase_a(x, gamma, beta, w, sums, sumsq, g, num_groups, eps,
         out_specs.append(const_spec(cr, o))
         out_shape.append(jax.ShapeDtypeStruct((cr, o), jnp.float32))
     cp = _compiler_params(r, wdt, c + o)
+    ledger.track(2 * (2 * 9 * b * h * wdt * c * o)
+                 + (2 * b * h * wdt * cr * o if has_res else 0),
+                 inputs, out_shape)
     return pl.pallas_call(
         functools.partial(_gnsc_bwd_kernel_a, n=n, eps=eps, n_tiles=n_tiles,
                           has_res=has_res, act=act),
@@ -1740,11 +1833,17 @@ def _blockp_fwd(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
             # unpaired low-res skip: channel-concat IS the paired W-repeat
             res_p = jnp.concatenate([residual, residual], axis=-1)
             kw["res_pre_up"] = True
+        if shifted_pair_enabled():
+            sh = ((2 * c,) if splits is None
+                  else (2 * splits[0], 2 * splits[1]))
+        else:
+            sh = None
         out = _pallas_gnsc(
             xp,
             _dual_vec(gamma, splits) if act else gamma,
             _dual_vec(beta, splits) if act else beta,
-            _pair_weights_split(w, splits),
+            (_pair_weights_shifted_split(w, splits) if sh
+             else _pair_weights_split(w, splits)),
             (jnp.concatenate([bias, bias]) if has_bias else None),
             num_groups, eps,
             residual=res_p,
@@ -1757,7 +1856,7 @@ def _blockp_fwd(xp, gamma, beta, w, bias, residual, skip_w, skip_b,
                     _dual_vec(stats_u[1], splits)) if act else None),
             gmat_arr=(jnp.asarray(_pair_gmat_split(num_groups, c, splits))
                       if act else None),
-            n_full=h * w2 * 2, act=act, **kw)
+            n_full=h * w2 * 2, act=act, sh_halves=sh, **kw)
         saved = stats_u
         if emit_stats:
             outp, os_, osq = out
@@ -2006,6 +2105,9 @@ def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, 2 * o), jnp.float32),
                      jax.ShapeDtypeStruct((b, 2 * o), jnp.float32)]
+    ledger.track(2 * 9 * (b * 2 * hl * wl) * (2 * c) * (2 * o),
+                 [x, gamma, beta, stats[0], stats[1], gmat, w2, bias2],
+                 out_shape)
     return pl.pallas_call(
         functools.partial(_gnsc_up_pair_kernel, n=n, eps=eps,
                           n_tiles=n_tiles, emit_stats=emit_stats),
@@ -2186,6 +2288,7 @@ def _gnsp_fwd(xp, gamma, beta, sums_in, sumsq_in, num_groups, eps, splits,
                                 memory_space=pltpu.VMEM)
         mat_spec = pl.BlockSpec((c2, c2), lambda i, t: (0, 0),
                                 memory_space=pltpu.VMEM)
+        ledger.track(0, xp, jax.ShapeDtypeStruct(xp.shape, xp.dtype))
         out = pl.pallas_call(
             functools.partial(_apply4_kernel, n=h * w2 * 2, eps=eps),
             grid=(b, h // r),
@@ -2230,6 +2333,7 @@ def _gnsp_bwd(num_groups, eps, splits, has_stats, residuals, g):
         mat_spec = pl.BlockSpec((c2, c2), lambda i, t: (0, 0),
                                 memory_space=pltpu.VMEM)
         cp = _compiler_params(r, w2, c2)
+        ledger.track(0, xp, g)  # grad-stats pass (reductions only)
         dgamma2, dbeta2, s1_2, s2_2 = pl.pallas_call(
             functools.partial(_grad_stats4_kernel, n=n, eps=eps),
             grid=(b, h // r),
@@ -2241,6 +2345,7 @@ def _gnsp_bwd(num_groups, eps, splits, has_stats, residuals, g):
         )(xp, gamma_p, beta_p, sums_p, sumsq_p, gmat_p, g)
         s1 = _dual_vec(_fold_stats(s1_2, splits), splits)
         s2 = _dual_vec(_fold_stats(s2_2, splits), splits)
+        ledger.track(0, xp, g, jax.ShapeDtypeStruct(xp.shape, xp.dtype))
         dx = pl.pallas_call(
             functools.partial(_grad_apply4_kernel, n=n, eps=eps),
             grid=(b, h // r),
@@ -2382,6 +2487,10 @@ def _pallas_up_pair_bwd(x, gamma, beta, w, sums, sumsq, g, num_groups, eps):
 
     gp, gn_ = halo(2 * o, n_tiles - 1)
     xp_, xn_ = halo(c, n_tiles - 1)
+    ledger.track(2 * (2 * 9 * (b * 2 * hl * wl) * (2 * c) * (2 * o)),
+                 [g, x, gamma, beta, sums, sumsq, gmat, wt],
+                 [jax.ShapeDtypeStruct((9 * 2 * c, 2 * o), jnp.float32),
+                  jax.ShapeDtypeStruct((b, 2 * hl, wl, c), jnp.float32)])
     dw9, db, ds = pl.pallas_call(
         functools.partial(_up_pair_bwd_kernel, n=n, eps=eps,
                           n_tiles=n_tiles),

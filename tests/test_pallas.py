@@ -1537,3 +1537,127 @@ class TestDdpmPaired:
         monkeypatch.setenv("MCEDM_DDPM_PAIR", "1")
         got = np.asarray(net.apply(params, x, t))
         np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
+
+
+class TestShiftedPair:
+    """Shifted-pair tap layout (MCEDM_SHPAIR): 6 dense (2C, 2O) matmuls
+    against a one-pixel-shifted strip replace the classic 9 half-zero
+    paired taps (fused_norm_conv._pair_weights_shifted)."""
+
+    def test_shifted_weights_identity(self):
+        """Pure math: the two shifted tap blocks reproduce the conv."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        rs = np.random.RandomState(5)
+        B_, H, W_, C_, O = 2, 8, 16, 4, 6
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32))
+        w = jnp.asarray(rs.randn(3, 3, C_, O).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wp = fnc._pair_weights_shifted(w)  # (3, 2, 2C, 2O)
+        # paired, W-padded by one PAIR on each side (pixel -2,-1 and W,W+1)
+        xp = jnp.pad(x.reshape(B_, H, W_ // 2, 2 * C_),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # shifted strip: ysh col s = [xp[:, s, C:], xp[:, s+1, :C]]
+        ysh = jnp.concatenate([xp[:, :, :-1, C_:], xp[:, :, 1:, :C_]],
+                              axis=-1)
+        got = sum(
+            jnp.einsum("bhwc,co->bhwo",
+                       jax.lax.dynamic_slice(
+                           ysh, (0, dr, s, 0),
+                           (B_, H, W_ // 2, 2 * C_)), wp[dr, s])
+            for dr in range(3) for s in range(2))
+        np.testing.assert_allclose(
+            np.asarray(got.reshape(B_, H, W_, O)), np.asarray(ref),
+            rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["none", "identity", "proj"])
+    def test_shifted_forward_interpret(self, mode, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        TestPairedLane._force(self, monkeypatch)
+        monkeypatch.setenv("MCEDM_SHPAIR", "1")
+        x, gamma, beta, w, bias = TestPairedLane._inputs(self)
+        B_, H, W_, C_ = x.shape
+        O = w.shape[-1]
+        rs = np.random.RandomState(17)
+        kwargs = {}
+        if mode == "identity":
+            kwargs = dict(residual=jnp.asarray(
+                rs.randn(B_, H, W_, O).astype(np.float32)))
+        elif mode == "proj":
+            kwargs = dict(
+                residual=jnp.asarray(rs.randn(B_, H, W_, 24)
+                                     .astype(np.float32)),
+                skip_w=jnp.asarray(0.1 * rs.randn(24, O).astype(np.float32)),
+                skip_b=jnp.asarray(0.1 * rs.randn(O).astype(np.float32)))
+        assert fnc.shifted_pair_enabled()
+        got, osums, osumsq = fnc.fused_gn_silu_conv_block(
+            x, gamma, beta, w, bias, G, emit_stats=True, **kwargs)
+        ref = fnc.gn_silu_conv_block_reference(
+            x, gamma, beta, w, bias, G, residual=kwargs.get("residual"),
+            skip_w=kwargs.get("skip_w"), skip_b=kwargs.get("skip_b"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_shifted_gradients_match(self, monkeypatch):
+        """Autodiff through the shifted forward must equal the classic
+        paired path's gradients (the custom VJP backward is tap-layout
+        independent)."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        TestPairedLane._force(self, monkeypatch)
+        x, gamma, beta, w, bias = TestPairedLane._inputs(self, H=16)
+
+        def loss(x_, g_, b_, w_, bi_):
+            out = fnc.fused_gn_silu_conv(x_, g_, b_, w_, bi_, G)
+            return jnp.sum(out * out)
+
+        monkeypatch.setenv("MCEDM_SHPAIR", "1")
+        g1 = jax.grad(loss, argnums=(0, 3))(x, gamma, beta, w, bias)
+        monkeypatch.setenv("MCEDM_SHPAIR", "0")
+        g2 = jax.grad(loss, argnums=(0, 3))(x, gamma, beta, w, bias)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_shifted_dual_order_interpret(self, monkeypatch):
+        """Shifted taps on a dual-order decoder-concat input (splits) match
+        the reference, values and gradients."""
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        TestPairedLane._force(self, monkeypatch)
+        monkeypatch.setenv("MCEDM_PAIRIO", "1")
+        monkeypatch.setenv("MCEDM_SHPAIR", "1")
+        x, gamma, beta, w, bias = TestPairedLane._inputs(self, H=16)
+        B_, H, W_, C_ = x.shape
+        O = w.shape[-1]
+        rs = np.random.RandomState(23)
+        C1 = C2 = C_ // 2
+        xcat_p = jnp.concatenate([fnc.pair_array(x[..., :C1]),
+                                  fnc.pair_array(x[..., C1:])], -1)
+        skw = jnp.asarray(0.1 * rs.randn(C_, O).astype(np.float32))
+        skb = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        cot = jnp.asarray(rs.randn(B_, H, W_ // 2, 2 * O).astype(np.float32))
+
+        def f_k(xcat_p, w):
+            return jnp.sum(fnc.fused_block_paired(
+                xcat_p, gamma, beta, w, bias, G, splits=(C1, C2),
+                residual=xcat_p, res_splits=(C1, C2), skip_w=skw,
+                skip_b=skb) * cot)
+
+        def f_r(xcat_p, w):
+            xx = fnc.unpair_array(xcat_p, (C1, C2))
+            y = fnc.gn_silu_conv_block_reference(
+                xx, gamma, beta, w, bias, G, residual=xx, skip_w=skw,
+                skip_b=skb)
+            return jnp.sum(fnc.pair_array(y) * cot)
+
+        np.testing.assert_allclose(float(f_k(xcat_p, w)),
+                                   float(f_r(xcat_p, w)), rtol=1e-4)
+        gk = jax.grad(f_k, argnums=(0, 1))(xcat_p, w)
+        gr = jax.grad(f_r, argnums=(0, 1))(xcat_p, w)
+        for nm, a, b_ in zip(("dx", "dw"), gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-4, err_msg=nm)

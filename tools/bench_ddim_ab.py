@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache_cpu" if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", "") else "/tmp/mcedm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
@@ -22,34 +22,9 @@ _GATE_KEYS = ("MCEDM_DDPM_PAIR", "MCEDM_PAIR", "MCEDM_PAIRIO", "MCEDM_1X1",
 
 
 def make_ddim_task(dtype="bfloat16"):
-    import bench as bench_mod
-    from m_cedm_tpu.tasks import DdimTask
+    from bench import make_ddim_task as _mk
 
-    hp = bench_mod.flagship_hparams()
-    hp["name"] = "ddim"
-    hp["model"]["type"] = "simple"
-    hp["model"]["var_type"] = "fixedsmall"
-    hp["model"]["cond_channels"] = 0
-    hp["model"]["cat_cond"] = False
-    hp["model"]["self_cond"] = False
-    hp["model"]["node_type"] = False
-    hp["model"]["dx_cond"] = False
-    hp["model"]["cat_dx"] = False
-    hp["model"]["add_cond_mask"] = False
-    hp["model"]["add_xt"] = False
-    if dtype == "bfloat16":
-        hp["model"]["dtype"] = "bfloat16"
-    hp["diffusion"] = {"beta_schedule": "linear", "beta_start": 1e-4,
-                       "beta_end": 0.02, "num_diffusion_timesteps": 1000}
-    hp["sampler"]["type"] = "ddim"
-    hp["sampler"]["skip_type"] = "uniform"
-    hp["sampler"]["eta"] = 0.0
-    hp["sampler"]["timesteps"] = 50
-    hp["sampler"]["n_time_h"] = 128
-    hp["sampler"]["n_time_u"] = 0
-    task = DdimTask(hp)
-    task.set_pde_loss_function("swe_per", False)
-    return task
+    return _mk(dtype)
 
 
 def main():

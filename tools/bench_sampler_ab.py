@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache_cpu" if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", "") else "/tmp/mcedm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
@@ -30,7 +30,7 @@ _GATE_KEYS = ("MCEDM_BLOCK_FUSION", "MCEDM_DUAL", "MCEDM_UPCONV",
               "MCEDM_UPRES", "MCEDM_OUT_HEAD", "MCEDM_PALLAS",
               "MCEDM_BWD_KERNEL", "MCEDM_PAD", "MCEDM_TILE_R",
               "MCEDM_MEGA", "MCEDM_STATS_TILE", "MCEDM_PAIR",
-              "MCEDM_PAIRIO", "MCEDM_1X1", "MCEDM_IN_HEAD")
+              "MCEDM_PAIRIO", "MCEDM_1X1", "MCEDM_IN_HEAD", "MCEDM_SHPAIR")
 
 
 def main():

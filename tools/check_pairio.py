@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache_cpu" if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", "") else "/tmp/mcedm_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass

@@ -26,6 +26,8 @@ def bucket(name: str) -> str:
     n = name.lower()
     if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
         return "pallas kernels"
+    if "convert" in n:
+        return "dtype converts"
     if n.startswith("fusion") or ".fusion" in n:
         if "conv" in n:
             return "xla convs"
@@ -98,7 +100,7 @@ def main():
         import jax.numpy as jnp
 
         try:
-            jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache")
+            jax.config.update("jax_compilation_cache_dir", "/tmp/mcedm_jax_cache_cpu" if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", "") else "/tmp/mcedm_jax_cache")
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         except Exception:
             pass
