@@ -317,18 +317,34 @@ def _gnsc_kernel(*refs, n: int, eps: float, n_tiles: int,
         # shifted-pair taps (see _pair_weights_shifted): build the one-pixel
         # shifted strip ysh (lane-half swap + column shift, once per tile —
         # per dual-order half when sh_halves has two entries) and run 6
-        # dense (2C, 2O) matmuls instead of 9 half-zero ones
-        parts = []
+        # dense (2C, 2O) matmuls instead of 9 half-zero ones.
+        # Mosaic rejects concatenating slices whose layout offsets differ
+        # ("result/input offset mismatch on non-concat dimension"), so the
+        # swap+shift is expressed as lane/sublane ROTATES + an iota select:
+        # ysh col s = [p1(s) | p0(s+1)] = where(lane < half,
+        #   roll(ypad, -half, lanes)[s], roll(roll(ypad, half, lanes), -1,
+        #   cols)[s]). The column-roll wrap garbage lands in column wdt+1,
+        #   which the tap slices (max col s+wdt-1 = wdt) never read.
+        lane = jax.lax.broadcasted_iota(jnp.int32, ypad.shape, 2)
+        ysh = None
         off = 0
+        n_lanes, n_cols = ypad.shape[2], ypad.shape[1]
+        # Mosaic's rotate only handles 32-bit data — roll an fp32 view and
+        # cast back (the strip is small: one halo'd row tile in VMEM)
+        yp32 = ypad.astype(jnp.float32)
         for hw in sh_halves:
             half = hw // 2
-            parts.append(jax.lax.slice(
-                ypad, (0, 0, off + half), (2 + r, wdt + 1, off + hw)))
-            parts.append(jax.lax.slice(
-                ypad, (0, 1, off), (2 + r, wdt + 2, off + half)))
+            # pltpu.roll requires non-negative shifts: -s == size - s
+            a = pltpu.roll(yp32, (n_lanes - half) % n_lanes, axis=2)
+            bsh = pltpu.roll(pltpu.roll(yp32, half, axis=2),
+                             n_cols - 1, axis=1)
+            piece = jnp.where((lane - off) % hw < half, a, bsh)
+            if ysh is None:
+                ysh = piece
+            else:
+                ysh = jnp.where((lane >= off) & (lane < off + hw), piece, ysh)
             off += hw
-        ysh = (jnp.concatenate(parts, axis=-1) if len(parts) > 1
-               else parts[0])
+        ysh = ysh.astype(ypad.dtype)
         for dr in range(3):
             for s in range(2):
                 blk = jax.lax.slice(ysh, (dr, s, 0), (dr + r, s + wdt, c1))
@@ -632,11 +648,15 @@ def shifted_pair_enabled() -> bool:
     [x_{2j+1}, x_{2j+2}] — a lane-half swap + column shift built once per
     tile in VMEM) covers the same 6 algorithmic blocks with 6 full (2C, 2O)
     matmuls (3/4 dense, 1.33x padding): 33% less executed MXU work per conv.
-    Default OFF pending the same-session A/B (VERDICT r3 #4 asked for a
-    measurement, not a prediction)."""
+    Default ON: same-session 50-step Heun A/B (B=16 res128 bf16, TPU v5e)
+    measured 607.3 -> 587.6 ms (1.034x) — the round-3 "densifying is
+    likely a wash" prediction was wrong. The shifted strip is built with
+    fp32 lane/sublane rotates + an iota select (Mosaic rejects concats of
+    offset-mismatched slices and non-32-bit rotates). MCEDM_SHPAIR=0
+    reverts."""
     import os
 
-    return os.environ.get("MCEDM_SHPAIR", "0") == "1"
+    return os.environ.get("MCEDM_SHPAIR", "1") != "0"
 
 
 def _pair_weights_shifted_split(w, splits):
