@@ -694,6 +694,46 @@ def _pair_weights_shifted(w):
     return jnp.stack(rows)
 
 
+def up_dense_enabled() -> bool:
+    """MCEDM_UPDENSE gates dense up-conv taps in the paired up kernel
+    (_gnsc_up_pair_kernel): the classic form duplicates the low-res lanes
+    ([y, y]) and runs 9 (2C, 2O) taps against the duplicated strip; but
+    since both W-parities of high pair j read low pixel j, the duplication
+    folds into the WEIGHTS — 9 (C, 2O) taps against the unduplicated strip
+    compute the identical conv with HALF the executed MXU work (and half
+    the strip VMEM). Default OFF: the same-session 50-step Heun A/B (B=16
+    res128 bf16, TPU v5e) measured 568.3 -> 580.2 ms (0.980x) — the up
+    kernels are stream/VPU-bound, not MXU-bound, so halving K buys nothing
+    and the narrower strip perturbs the tile layout for the worse.
+    Interpret-mode parity incl. gradients is pinned by
+    tests/test_pallas.py::TestUpDense; MCEDM_UPDENSE=1 re-enables for
+    re-measurement."""
+    import os
+
+    return os.environ.get("MCEDM_UPDENSE", "0") == "1"
+
+
+def _up_pair_weights_dense(w):
+    """(3, 3, C, O) -> (3, 3, C, 2O) dense up-conv taps.
+
+    High-res output pair j = (y(2j), y(2j+1)) of the 3x3 conv over the
+    W-nearest-upsampled image: y(2j) = w0 lo(j-1) + (w1+w2) lo(j),
+    y(2j+1) = (w0+w1) lo(j) + w2 lo(j+1). With the zero-padded low-res
+    strip (column u holds lo(u-1)), tap dj contracts lo(j+dj-1):
+      dj=0: [w0 | 0],  dj=1: [w1+w2 | w0+w1],  dj=2: [0 | w2].
+    The H-axis upsampling stays a row repeat (rows are the matmul M axis,
+    inherent to the output size)."""
+    z = jnp.zeros_like(w[0, 0])
+    rows = []
+    for dr in range(3):
+        w0, w1, w2_ = w[dr, 0], w[dr, 1], w[dr, 2]
+        rows.append(jnp.stack([
+            jnp.concatenate([w0, z], axis=-1),
+            jnp.concatenate([w1 + w2_, w0 + w1], axis=-1),
+            jnp.concatenate([z, w2_], axis=-1)]))
+    return jnp.stack(rows)
+
+
 def _pair_skip(skw):
     """(Cr, O) -> (2Cr, 2O) block-diagonal 1x1-projection weights (parity
     is preserved by a 1x1 conv)."""
@@ -2048,20 +2088,23 @@ def _gnsc_up_pair_kernel(xp_ref, xc_ref, xn_ref, gamma_ref, beta_ref,
         # paired W-repeat: both parities of high pair j read low pixel j
         return jnp.concatenate([y, y], axis=-1)
 
-    mid_up = jnp.repeat(pair2(ns(xc_ref[0])), 2, axis=0)  # (2R, Wl, 2C)
-    ypad = jnp.concatenate([pair2(ns(xp_ref[0], top_live)), mid_up,
-                            pair2(ns(xn_ref[0], bot_live))], axis=0)
-    zcol = jnp.zeros((2 * r + 2, 1, c2), mm_dtype)
-    ypad = jnp.concatenate([zcol, ypad, zcol], axis=1)  # (2R+2, Wl+2, 2C)
+    dense_w = w_ref.shape[0] == 9 * c  # see _up_pair_weights_dense
+    ck = c if dense_w else c2
+    rep = (lambda y: y) if dense_w else pair2
+    mid_up = jnp.repeat(rep(ns(xc_ref[0])), 2, axis=0)  # (2R, Wl, C|2C)
+    ypad = jnp.concatenate([rep(ns(xp_ref[0], top_live)), mid_up,
+                            rep(ns(xn_ref[0], bot_live))], axis=0)
+    zcol = jnp.zeros((2 * r + 2, 1, ck), mm_dtype)
+    ypad = jnp.concatenate([zcol, ypad, zcol], axis=1)  # (2R+2, Wl+2, ck)
 
     r2 = 2 * r
     acc = jnp.broadcast_to(bias_ref[:].astype(jnp.float32), (r2 * wl, o2))
     for dr in range(3):
         for dj in range(3):
-            blk = jax.lax.slice(ypad, (dr, dj, 0), (dr + r2, dj + wl, c2))
+            blk = jax.lax.slice(ypad, (dr, dj, 0), (dr + r2, dj + wl, ck))
             acc = acc + jax.lax.dot_general(
-                blk.reshape(r2 * wl, c2),
-                w_ref[pl.ds((dr * 3 + dj) * c2, c2), :],
+                blk.reshape(r2 * wl, ck),
+                w_ref[pl.ds((dr * 3 + dj) * ck, ck), :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     out_ref[0] = acc.reshape(r2, wl, o2).astype(out_ref.dtype)
@@ -2092,7 +2135,10 @@ def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
         # on the unpaired low-res input directly (no fold needed)
         stats = _compute_stats_4d(x)
     gmat = jnp.asarray(_group_matrix(num_groups, c))
-    w2 = _pair_weights(w).astype(x.dtype).reshape(9 * 2 * c, 2 * o)
+    if up_dense_enabled():
+        w2 = _up_pair_weights_dense(w).astype(x.dtype).reshape(9 * c, 2 * o)
+    else:
+        w2 = _pair_weights(w).astype(x.dtype).reshape(9 * 2 * c, 2 * o)
     bias2 = jnp.concatenate(
         [bias, bias]).astype(jnp.float32).reshape(1, 2 * o) if bias is not None \
         else jnp.zeros((1, 2 * o), jnp.float32)
@@ -2110,7 +2156,7 @@ def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
                             memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((c, c), lambda i, t: (0, 0),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((9 * 2 * c, 2 * o), lambda i, t: (0, 0),
+    w_spec = pl.BlockSpec(w2.shape, lambda i, t: (0, 0),
                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, 2 * o), lambda i, t: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -2125,7 +2171,7 @@ def _pallas_gnsc_up_pair(x, gamma, beta, w, bias, num_groups, eps,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, 2 * o), jnp.float32),
                      jax.ShapeDtypeStruct((b, 2 * o), jnp.float32)]
-    ledger.track(2 * 9 * (b * 2 * hl * wl) * (2 * c) * (2 * o),
+    ledger.track(2 * (b * 2 * hl * wl) * w2.shape[0] * (2 * o),
                  [x, gamma, beta, stats[0], stats[1], gmat, w2, bias2],
                  out_shape)
     return pl.pallas_call(

@@ -1661,3 +1661,50 @@ class TestShiftedPair:
         for nm, a, b_ in zip(("dx", "dw"), gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-3, atol=2e-4, err_msg=nm)
+
+
+class TestUpDense:
+    """Dense up-conv taps (MCEDM_UPDENSE): fold the paired W-repeat into
+    combined (C, 2O) weights — half the executed MXU work of the classic
+    duplicated-lane 9x(2C, 2O) form (fused_norm_conv._up_pair_weights_dense)."""
+
+    def _run(self, monkeypatch, gate):
+        pl = pytest.importorskip("jax.experimental.pallas")
+        import m_cedm_tpu.pallas.fused_norm as fn
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        monkeypatch.setenv("MCEDM_UPDENSE", gate)
+        rs = np.random.RandomState(11)
+        B_, H, W_, C_, O = 2, 16, 16, 32, 32
+        x = jnp.asarray(rs.randn(B_, H, W_, C_).astype(np.float32))
+        gamma = jnp.asarray(1 + 0.1 * rs.randn(B_, C_).astype(np.float32))
+        beta = jnp.asarray(0.1 * rs.randn(B_, C_).astype(np.float32))
+        w = jnp.asarray(0.1 * rs.randn(3, 3, C_, O).astype(np.float32))
+        bias = jnp.asarray(0.1 * rs.randn(O).astype(np.float32))
+        zc = jnp.zeros((0,), jnp.float32)
+        orig_call = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **k: orig_call(
+                *a, **{**k, "interpret": True})
+            fn.pl.pallas_call = pl.pallas_call
+            fnc.pl.pallas_call = pl.pallas_call
+            out = fnc.fused_up_paired(x, gamma, beta, w, bias, 8, 1e-5,
+                                      (zc, zc), False)
+            grads = jax.grad(lambda x_, w_: jnp.sum(
+                fnc.fused_up_paired(x_, gamma, beta, w_, bias, 8, 1e-5,
+                                    (zc, zc), False) ** 2),
+                argnums=(0, 1))(x, w)
+        finally:
+            pl.pallas_call = orig_call
+            fn.pl.pallas_call = orig_call
+            fnc.pl.pallas_call = orig_call
+        return np.asarray(out), [np.asarray(g) for g in grads]
+
+    def test_dense_matches_classic_and_reference(self, monkeypatch):
+        import m_cedm_tpu.pallas.fused_norm_conv as fnc
+
+        out_d, g_d = self._run(monkeypatch, "1")
+        out_c, g_c = self._run(monkeypatch, "0")
+        np.testing.assert_allclose(out_d, out_c, rtol=1e-5, atol=1e-5)
+        for a, b_ in zip(g_d, g_c):
+            np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-5)

@@ -30,7 +30,8 @@ _GATE_KEYS = ("MCEDM_BLOCK_FUSION", "MCEDM_DUAL", "MCEDM_UPCONV",
               "MCEDM_UPRES", "MCEDM_OUT_HEAD", "MCEDM_PALLAS",
               "MCEDM_BWD_KERNEL", "MCEDM_PAD", "MCEDM_TILE_R",
               "MCEDM_MEGA", "MCEDM_STATS_TILE", "MCEDM_PAIR",
-              "MCEDM_PAIRIO", "MCEDM_1X1", "MCEDM_IN_HEAD", "MCEDM_SHPAIR")
+              "MCEDM_PAIRIO", "MCEDM_1X1", "MCEDM_IN_HEAD", "MCEDM_SHPAIR",
+              "MCEDM_UPDENSE")
 
 
 def main():
