@@ -324,10 +324,22 @@ def downsample2x_mean_paired(xp):
     b, h, w2, c2 = xp.shape
     c = c2 // 2
     # rows pool via a MAJOR-dim split (layout-free reshape: the minor
-    # (W2, 2C) dims are untouched) + unit-stride indexing — strided row
-    # slices lower to H-major transpose copies on TPU (134 MB/call audited)
+    # (W2, 2C) dims are untouched) + jnp.sum over the split dim: indexing
+    # the pair dim (x4[:, :, 0] + x4[:, :, 1]) makes XLA materialize a
+    # pair-dim-outermost relayout of the FULL-res operand (67 MB/call per
+    # down level in the optimized-HLO byte audit) while the reduce form
+    # audits to 0 MB. Wall-clock is a WASH (same-session 50-step A/B:
+    # 569.3 idx vs 571.1 sum) — those copies ran on the async copy engines
+    # under the MXU work — but the reduce form is kept so the HLO byte
+    # audit (bench cost accounting) reflects true demand traffic.
+    # MCEDM_POOL_IDX=1 restores the indexing form for re-measurement.
     x4 = xp.reshape(b, h // 2, 2, w2, c2)
-    e = x4[:, :, 0] + x4[:, :, 1]
+    import os
+
+    if os.environ.get("MCEDM_POOL_IDX", "0") == "1":  # re-measurement gate
+        e = x4[:, :, 0] + x4[:, :, 1]
+    else:
+        e = jnp.sum(x4, axis=2)
     f = (e[..., :c] + e[..., c:]) * jnp.asarray(0.25, xp.dtype)
     return pair_array(f)
 

@@ -13,3 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+# hermetic compiles: the persistent compilation cache is shared with any
+# concurrently-running bench/tools process, and concurrent access has been
+# observed to segfault XLA:CPU inside backend_compile_and_load (full-suite
+# runs on 2026-08-18 died twice in test_precision while a TPU client ran)
+jax.config.update("jax_enable_compilation_cache", False)
