@@ -93,20 +93,24 @@ def _stats(xs):
 
 
 def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
-            chain=16):
+            chain=16, schain=4):
     """Medians: (train_ms steady-state (med, lo, hi),
-                 train_ms latency (med, lo, hi), sps (med, lo, hi)).
+                 train_ms latency (med, lo, hi),
+                 sps steady-state (med, lo, hi), sps latency (med, lo, hi)).
 
-    Train is measured two ways (VERDICT r3 #1/#3):
-      * steady-state (the headline `*_train_step_ms`): `chain` dispatches
-        whose states feed each other, ONE final scalar materialization,
-        wall/chain — what a real training loop achieves with async
-        dispatch (the final float() forces the whole chain; states are
-        data-dependent so no dispatch can be skipped).
-      * latency (`*_train_step_latency_ms`): one synchronous step with a
-        per-iteration host materialization (the old protocol) — this
-        includes ~15-18 ms of host dispatch overhead beyond the measured
-        tiny-jit round-trip and overstates the device cost ~1.8x.
+    Train AND sampling are each measured two ways (VERDICT r3 #1/#3):
+      * steady-state (the headline): chained dispatches whose inputs feed
+        each other, ONE final scalar materialization, wall/chain — what a
+        real loop achieves with async dispatch. For sampling the chain is
+        the SAME jitted sampler re-dispatched with a PRNG key that folds
+        in a scalar derived from the previous batch's output (device-side
+        dependence, so no dispatch can be skipped, no extra compile, and
+        no host sync until the final float()).
+      * latency (`*_latency_*`): one synchronous dispatch with a
+        per-iteration host materialization (the old protocol) — includes
+        residual host dispatch overhead beyond the measured tiny-jit
+        round-trip (~1.8x overstatement on the 21 ms train step, a few
+        percent on the 540 ms sampler batch).
     """
     h, grid_t, grid_x, u = batch
     state0 = state
@@ -129,6 +133,26 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
         dt = time.perf_counter() - t0 - roundtrip_s
         train_ts.append(max(dt * 1e3 / chain, 1e-3))
 
+    sps_steady, sps_lat = measure_sampling(task, state, batch, roundtrip_s,
+                                           n_sample=n_sample, schain=schain)
+    return _stats(train_ts), _stats(lat_ts), sps_steady, sps_lat
+
+
+def _chain_key(base, i, prev):
+    """Key for chained dispatch i: folds in (0 * previous output) so the
+    chain is data-dependent on device (no dispatch can be skipped) without
+    any host materialization — all ops are async eager dispatches."""
+    return jax.random.fold_in(
+        base, i + jax.lax.convert_element_type(prev * 0.0, jnp.uint32))
+
+
+def measure_sampling(task, state, batch, roundtrip_s, n_sample=5, schain=4):
+    """Sampling throughput both ways: (steady (med,lo,hi), latency (...)).
+
+    Steady-state: schain async dispatches of the SAME compiled sampler,
+    keys chained through _chain_key, one final materialization, wall/schain.
+    Latency: per-dispatch with a host sync each (the old protocol)."""
+    h, grid_t, grid_x, u = batch
     mask = jnp.concatenate([jnp.zeros((B, RES, RES, 1)),
                             jnp.ones((B, RES, RES, 1))], axis=-1)
     gt = task.transform.forward(state, h, u)
@@ -136,12 +160,26 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
     sample_fn = jax.jit(
         lambda s, c, m_, k: jnp.sum(task.sample_edm(s, c, m_, k)))
     float(sample_fn(state, cond, mask, jax.random.PRNGKey(5)))  # warmup
-    sps = []
+    sps_lat = []
     for i in range(n_sample):
         t0 = time.perf_counter()
         float(sample_fn(state, cond, mask, jax.random.PRNGKey(6 + i)))
-        sps.append(B / max(time.perf_counter() - t0 - roundtrip_s, 1e-6))
-    return _stats(train_ts), _stats(lat_ts), _stats(sps)
+        sps_lat.append(B / max(time.perf_counter() - t0 - roundtrip_s, 1e-6))
+    # warm the tiny eager fold-in programs once before timing
+    d = sample_fn(state, cond, mask,
+                  _chain_key(jax.random.PRNGKey(5), 0, jnp.float32(0)))
+    float(d)
+    sps_steady = []
+    for r in range(max(2, n_sample // 2)):
+        base = jax.random.PRNGKey(60 + r)
+        d = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for i in range(schain):
+            d = sample_fn(state, cond, mask, _chain_key(base, i, d))
+        float(d)
+        dt = max(time.perf_counter() - t0 - roundtrip_s, 1e-6)
+        sps_steady.append(B * schain / dt)
+    return _stats(sps_steady), _stats(sps_lat)
 
 
 def _ca(lowered):
@@ -550,16 +588,18 @@ def main():
 
     # fp32 (kernels as probed), bf16 production (kernels on), bf16 kernels off
     task32 = make_task()
-    (t32, t32_lo, t32_hi), (tl32, tl32_lo, tl32_hi), (s32, s32_lo, s32_hi) = \
+    ((t32, t32_lo, t32_hi), (tl32, tl32_lo, tl32_hi),
+     (s32, s32_lo, s32_hi), (sl32, sl32_lo, sl32_hi)) = \
         measure(task32, state, batch, roundtrip_s)
     task16 = make_task("bfloat16")
-    (t16, t16_lo, t16_hi), (tl16, tl16_lo, tl16_hi), (s16, s16_lo, s16_hi) = \
+    ((t16, t16_lo, t16_hi), (tl16, tl16_lo, tl16_hi),
+     (s16, s16_lo, s16_hi), (sl16, sl16_lo, sl16_hi)) = \
         measure(task16, state, batch, roundtrip_s)
     if pallas_ok:
         task16_off = make_task("bfloat16", pallas=False)
-        (t16o, _, _), _, (s16o, _, _) = measure(task16_off, state, batch,
-                                                roundtrip_s, n_train=5,
-                                                n_sample=3)
+        (t16o, _, _), _, (s16o, _, _), _ = measure(task16_off, state, batch,
+                                                   roundtrip_s, n_train=5,
+                                                   n_sample=3, schain=2)
         os.environ["MCEDM_PALLAS"] = "1"
     else:
         task16_off = None
@@ -598,6 +638,13 @@ def main():
         "bf16_samples_per_sec": round(s16, 3),
         "bf16_samples_per_sec_min": round(s16_lo, 3),
         "bf16_samples_per_sec_max": round(s16_hi, 3),
+        "bf16_samples_per_sec_latency": round(sl16, 3),
+        "bf16_samples_per_sec_latency_min": round(sl16_lo, 3),
+        "bf16_samples_per_sec_latency_max": round(sl16_hi, 3),
+        "sampling_protocol": ("steady-state: 4 data-dependent chained "
+                              "sampler dispatches (key folds in previous "
+                              "output), one final materialization, "
+                              "wall/4; per-dispatch kept as *_latency"),
         "bf16_train_step_ms": round(t16, 3),
         "bf16_train_step_ms_min": round(t16_lo, 3),
         "bf16_train_step_ms_max": round(t16_hi, 3),
@@ -611,6 +658,7 @@ def main():
         "fp32_samples_per_sec": round(s32, 3),
         "fp32_samples_per_sec_min": round(s32_lo, 3),
         "fp32_samples_per_sec_max": round(s32_hi, 3),
+        "fp32_samples_per_sec_latency": round(sl32, 3),
         "fp32_train_step_ms": round(t32, 3),
         "fp32_train_step_ms_min": round(t32_lo, 3),
         "fp32_train_step_ms_max": round(t32_hi, 3),
