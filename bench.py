@@ -7,11 +7,13 @@ Measures, on the available accelerator:
      batch 16 (BASELINE.md "reference workload shape")
   2. Heun EDM sampling throughput: 50 steps x 2 model calls, batch 16
 
-Protocol (VERDICT r1 #3): per-iteration timings, median of >=5 reps with
-min/max spread reported; every iteration materializes a scalar on host
-(`block_until_ready` is unreliable on tunneled backends) and the measured
-host round-trip is subtracted. The persisted baseline (bench_baseline.json)
-is never rewritten once recorded.
+Protocol (VERDICT r1 #3, revised r4): the headline train AND sampling
+numbers are steady-state — chains of data-dependent async dispatches with
+ONE final scalar materialization (`block_until_ready` is unreliable on
+tunneled backends), the measured host round-trip subtracted once per
+chain; medians over reps with min/max spread. Per-dispatch synchronous
+timings are kept as `*_latency*` keys. The persisted baseline
+(bench_baseline.json) is never rewritten once recorded.
 
 Anchors:
   * vs_baseline   — against the recorded round-1 fp32 numbers (tracks the
