@@ -111,8 +111,9 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
       * latency (`*_latency_*`): one synchronous dispatch with a
         per-iteration host materialization (the old protocol) — includes
         residual host dispatch overhead beyond the measured tiny-jit
-        round-trip (~1.8x overstatement on the 21 ms train step, a few
-        percent on the 540 ms sampler batch).
+        round-trip (~1.4x overstatement on the 21 ms train step per the
+        round-4 officials — 28.9 latency vs 20.96 steady — a few percent
+        on the 540 ms sampler batch).
     """
     h, grid_t, grid_x, u = batch
     state0 = state
@@ -140,12 +141,47 @@ def measure(task, state, batch, roundtrip_s, n_train=5, n_sample=5,
     return _stats(train_ts), _stats(lat_ts), sps_steady, sps_lat
 
 
+def _zero_u32(prev):
+    """uint32 zero carrying a data-dependence edge on `prev`. NaN-safe:
+    prev is converted to uint32 FIRST and zeroed by an integer multiply
+    (float NaN*0.0 = NaN, and float->uint32 of NaN is implementation
+    -defined on TPU; uint32*0 is total), so the chained value is exactly 0
+    regardless of what the previous dispatch produced."""
+    return jax.lax.convert_element_type(prev, jnp.uint32) * jnp.uint32(0)
+
+
 def _chain_key(base, i, prev):
-    """Key for chained dispatch i: folds in (0 * previous output) so the
-    chain is data-dependent on device (no dispatch can be skipped) without
-    any host materialization — all ops are async eager dispatches."""
-    return jax.random.fold_in(
-        base, i + jax.lax.convert_element_type(prev * 0.0, jnp.uint32))
+    """Key for chained dispatch i: folds in (zero carrying a data edge on
+    the previous output) so the chain is data-dependent on device (no
+    dispatch can be skipped) without any host materialization — all ops
+    are async eager dispatches. Equal to fold_in(base, i) by value."""
+    return jax.random.fold_in(base, i + _zero_u32(prev))
+
+
+def _zero_like(x, prev):
+    """x plus a zero that carries a data-dependence edge on `prev` (for
+    chaining dispatches whose only inputs are float tensors). Value-equal
+    to x; NaN-safe via the integer zeroing of _zero_u32."""
+    return x + _zero_u32(prev).astype(x.dtype)
+
+
+def _chained_steady_s(step, roundtrip_s, schain=8, reps=3):
+    """Steady-state seconds-per-dispatch for an arbitrary async dispatch.
+
+    `step(rep, i, prev) -> f32 scalar DeviceArray` must thread `prev`
+    (the previous dispatch's output) into its inputs via _zero_u32-style
+    zero links so no dispatch can be elided; each chain of `schain`
+    dispatches is forced by ONE final float(). Returns (med, lo, hi)."""
+    float(step(0, 0, jnp.float32(0.0)))  # warm the chained variant
+    ts = []
+    for r in range(reps):
+        d = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for i in range(schain):
+            d = step(r, i, d)
+        float(d)
+        ts.append(max((time.perf_counter() - t0 - roundtrip_s) / schain, 1e-9))
+    return _stats(ts)
 
 
 def measure_sampling(task, state, batch, roundtrip_s, n_sample=5, schain=4):
@@ -172,7 +208,7 @@ def measure_sampling(task, state, batch, roundtrip_s, n_sample=5, schain=4):
                   _chain_key(jax.random.PRNGKey(5), 0, jnp.float32(0)))
     float(d)
     sps_steady = []
-    for r in range(max(2, n_sample // 2)):
+    for r in range(max(3, n_sample // 2)):
         base = jax.random.PRNGKey(60 + r)
         d = jnp.float32(0.0)
         t0 = time.perf_counter()
@@ -376,9 +412,65 @@ def _chained_train_ms(task, state, batch, roundtrip_s, chain=8, reps=2):
     return _stats(ts)
 
 
-def bench_ddpm_family(roundtrip_s):
+def _lower_with_ledger(make_lowered):
+    """Lower a program while the Pallas ledger records custom-call costs
+    (XLA cost analysis reports flops=0/bytes=0 for custom calls). Returns
+    (lowered, kernel_flops, kernel_bytes). `make_lowered` must build a
+    FRESH jit wrapper — a cached jit skips tracing and records nothing."""
+    from m_cedm_tpu.pallas import ledger
+
+    ledger.reset()
+    try:
+        low = make_lowered()
+        kfl, kby = ledger.totals()
+    finally:
+        ledger.stop()
+    return low, kfl, kby
+
+
+def _roofline_keys(prefix, make_lowered, t_s):
+    """mfu_{prefix} / {prefix}_hbm_bw_util / bound_by_{prefix} for one
+    program measured at t_s seconds per dispatch (VERDICT r4 #3: per-family
+    roofline accounting via the ledger). Flops/bytes are the PRODUCTION
+    graph's (XLA cost analysis + ledger-tracked custom calls) — i.e.
+    executed work; `bound_by` is distance-from-hardware-limit on that
+    basis. Empty dict on backends without cost analysis."""
+    try:
+        low, kfl, kby = _lower_with_ledger(make_lowered)
+        ca = _ca(low)
+        fl = float(ca.get("flops", 0)) + kfl
+        by = float(ca.get("bytes accessed", 0)) + kby
+    except Exception:
+        return {}
+    if not fl or not t_s or t_s <= 0:
+        return {}
+    mfu = fl / t_s / PEAK_BF16_FLOPS
+    bw = by / t_s / PEAK_HBM_BW
+    return {f"mfu_{prefix}": round(mfu, 4),
+            f"{prefix}_hbm_bw_util": round(bw, 4),
+            f"{prefix}_flops": fl, f"{prefix}_bytes": by,
+            f"bound_by_{prefix}": ("hbm_bandwidth" if bw > mfu
+                                   else "mxu_flops")}
+
+
+def _lower_train(task, state, batch, rng):
+    """Lower a task's train_step through a fresh jit wrapper (train_step
+    is a cached @jax.jit; the ledger needs a fresh trace)."""
+    raw = type(task).train_step
+    raw = getattr(raw, "__wrapped__", raw)
+    return jax.jit(lambda s, b_, r: raw(task, s, b_, r)).lower(
+        state, batch, rng)
+
+
+def bench_ddpm_family(roundtrip_s, quick=False):
     """DDPM joint 50-step DDIM sampler throughput (VERDICT r3 #5: promotes
-    the tools/bench_ddim_ab.py A/B number to an official JSON key)."""
+    the tools/bench_ddim_ab.py A/B number to an official JSON key).
+
+    r5: headline is steady-state (chained PRNG-key dispatches, one final
+    materialization — same protocol as the flagship sampler); per-dispatch
+    kept as *_latency keys. Roofline from one net call (the DDIM joint
+    sampler runs timesteps=50 net calls per batch).
+    Anchor: reference models/ddim.py:706-806."""
     task = make_ddim_task("bfloat16")
     state = task.init_state(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
@@ -386,12 +478,32 @@ def bench_ddpm_family(roundtrip_s):
     u = jax.random.normal(jax.random.fold_in(key, 1), (B, RES, RES, 1)) * 0.1
     hu = task.transform.forward(state, h, u)
     h_only = hu[..., :task.h_ch]
-    fn = jax.jit(lambda s, x, k: jnp.sum(task.sample(s, x, k)))
+    fn = jax.jit(
+        lambda s, x, k: jnp.sum(task.sample(s, x, k)).astype(jnp.float32))
+    bases = [jax.random.PRNGKey(600 + r) for r in range(3)]
+    smed, slo, shi = _chained_steady_s(
+        lambda r, i, prev: fn(state, h_only, _chain_key(bases[r], i, prev)),
+        roundtrip_s, schain=4, reps=2 if quick else 3)
+    out = {"ddpm_ddim_samples_per_sec": round(B / smed, 3),
+           "ddpm_ddim_ms": round(smed * 1e3, 1),
+           "ddpm_ddim_ms_min": round(slo * 1e3, 1),
+           "ddpm_ddim_ms_max": round(shi * 1e3, 1)}
+    if quick:
+        return out
     med, lo, hi = _timed_reps(
         lambda: float(fn(state, h_only, jax.random.PRNGKey(6))), roundtrip_s)
-    return {"ddpm_ddim_samples_per_sec": round(B / (med / 1e3), 3),
-            "ddpm_ddim_ms": round(med, 1),
-            "ddpm_ddim_ms_min": round(lo, 1), "ddpm_ddim_ms_max": round(hi, 1)}
+    out.update({"ddpm_ddim_ms_latency": round(med, 1),
+                "ddpm_ddim_ms_latency_min": round(lo, 1),
+                "ddpm_ddim_ms_latency_max": round(hi, 1)})
+    n_steps = task.test_sparams.get("timesteps", 50)
+    xin = jnp.ones((B, RES, RES, 2), jnp.float32)
+    t_b = jnp.full((B,), 10.0, jnp.float32)
+    out.update(_roofline_keys(
+        "ddpm_fwd",
+        lambda: jax.jit(lambda p, x, t: task.net_apply(p, x, t, None)).lower(
+            state.params, xin, t_b),
+        smed / n_steps))
+    return out
 
 
 def make_fno_setup(nb=32, dtype=None):
@@ -424,20 +536,50 @@ def make_fno_setup(nb=32, dtype=None):
     return task, state, (u, x, t, s)
 
 
-def bench_fno_family(roundtrip_s):
+def bench_fno_family(roundtrip_s, quick=False):
     """FNO-2D: steady-state train-step ms + inference throughput. Hot loop
-    anchor: reference models/fno_2d.py:40-55 (spectral conv einsums)."""
+    anchor: reference models/fno_2d.py:40-55 (spectral conv einsums).
+
+    r5: inference is steady-state chained (VERDICT r4 weak #1 — the FNO
+    dispatch is ~1-6 ms, far below the ~30 ms host round-trip, so the old
+    per-dispatch-minus-roundtrip protocol measured jitter, producing the
+    4973-vs-32427 samples/s self-contradiction). A long chain (schain=64)
+    of data-dependent dispatches amortizes the single round-trip to <2%."""
     nb = 32
     task, state, batch = make_fno_setup(nb)
     u, x, t, s = batch
 
-    (tms, _, _) = _chained_train_ms(task, state, batch, roundtrip_s)
-    infer = jax.jit(lambda p, u_, x_, t_: jnp.sum(task._predict(p, u_, x_, t_)))
-    med, _, _ = _timed_reps(lambda: float(infer(state.params, u, x, t)),
-                            roundtrip_s)
-    return {"fno_train_step_ms": round(tms, 3),
-            "fno_infer_samples_per_sec": round(nb / (med / 1e3), 3),
-            "fno_batch": nb}
+    tms, tlo, thi = _chained_train_ms(task, state, batch, roundtrip_s)
+    infer = jax.jit(
+        lambda p, u_, x_, t_, prev: jnp.sum(task._predict(
+            p, _zero_like(u_, prev), x_, t_)).astype(jnp.float32))
+    smed, slo, shi = _chained_steady_s(
+        lambda r, i, prev: infer(state.params, u, x, t, prev),
+        roundtrip_s, schain=64, reps=2 if quick else 3)
+    out = {"fno_train_step_ms": round(tms, 3),
+           "fno_train_step_ms_min": round(tlo, 3),
+           "fno_train_step_ms_max": round(thi, 3),
+           "fno_infer_samples_per_sec": round(nb / smed, 3),
+           "fno_infer_ms": round(smed * 1e3, 3),
+           "fno_infer_ms_min": round(slo * 1e3, 3),
+           "fno_infer_ms_max": round(shi * 1e3, 3),
+           "fno_batch": nb}
+    if quick:
+        return out
+    med, _, _ = _timed_reps(
+        lambda: float(infer(state.params, u, x, t, jnp.float32(0))),
+        roundtrip_s)
+    out["fno_infer_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
+    rng = jax.random.PRNGKey(2)
+    out.update(_roofline_keys(
+        "fno_train", lambda: _lower_train(task, state, batch, rng),
+        tms * 1e-3))
+    out.update(_roofline_keys(
+        "fno_infer",
+        lambda: jax.jit(lambda p, u_, x_, t_: jnp.sum(task._predict(
+            p, u_, x_, t_))).lower(state.params, u, x, t),
+        smed))
+    return out
 
 
 def _oformer_enc_dec(tok_res, T):
@@ -488,10 +630,13 @@ def make_oformer_setup(nb=16, dtype=None):
     return task, state, (xtok, y, nt, pos, n_time)
 
 
-def bench_oformer_family(roundtrip_s):
+def bench_oformer_family(roundtrip_s, quick=False):
     """OFormer: steady-state train-step ms + full-grid inference throughput
     + a 64->64-step time-pred rollout. Hot loop anchor: reference
-    models/oformer.py:319-327 (Galerkin linear attention)."""
+    models/oformer.py:319-327 (Galerkin linear attention).
+
+    r5: inference/rollout steady-state chained like the other families;
+    per-dispatch kept as *_latency keys; rooflines via the ledger."""
     from m_cedm_tpu.tasks import OformerTimePredTask
 
     nb, T = 16, RES
@@ -502,13 +647,21 @@ def bench_oformer_family(roundtrip_s):
     def enc_dec(tok_res):
         return _oformer_enc_dec(tok_res, T)
 
-    (tms, _, _) = _chained_train_ms(task, state, batch, roundtrip_s,
-                                    chain=4, reps=2)
-    infer = jax.jit(lambda s, b: jnp.sum(task.model.apply(
-        s.params, b[0], b[2], b[2], b[3], b[3], 1)))
-    med, _, _ = _timed_reps(lambda: float(infer(state, batch)), roundtrip_s)
+    tms, tlo, thi = _chained_train_ms(task, state, batch, roundtrip_s,
+                                      chain=4, reps=2)
+    infer = jax.jit(lambda s, b, prev: jnp.sum(task.model.apply(
+        s.params, _zero_like(b[0], prev), b[2], b[2], b[3], b[3], 1)
+        ).astype(jnp.float32))
+    smed, slo, shi = _chained_steady_s(
+        lambda r, i, prev: infer(state, batch, prev), roundtrip_s,
+        schain=16, reps=2 if quick else 3)
     out = {"oformer_train_step_ms": round(tms, 3),
-           "oformer_infer_samples_per_sec": round(nb / (med / 1e3), 3),
+           "oformer_train_step_ms_min": round(tlo, 3),
+           "oformer_train_step_ms_max": round(thi, 3),
+           "oformer_infer_samples_per_sec": round(nb / smed, 3),
+           "oformer_infer_ms": round(smed * 1e3, 3),
+           "oformer_infer_ms_min": round(slo * 1e3, 3),
+           "oformer_infer_ms_max": round(shi * 1e3, 3),
            "oformer_batch": nb}
 
     # time-pred rollout: 64 history steps -> 64 future steps at X=128
@@ -520,38 +673,122 @@ def bench_oformer_family(roundtrip_s):
     nth = jnp.zeros((nb, nh * RES, 1), jnp.int32)
     ph = pos[:, :nh * RES]
     pf = pos[:, nh * RES:]
-    roll = jax.jit(lambda s: jnp.sum(tp.model.apply(
-        s.params, xh, nth, nth, ph, pf, nh)))
-    med, _, _ = _timed_reps(lambda: float(roll(tstate)), roundtrip_s)
-    out["oformer_rollout_samples_per_sec"] = round(nb / (med / 1e3), 3)
+    roll = jax.jit(lambda s, prev: jnp.sum(tp.model.apply(
+        s.params, _zero_like(xh, prev), nth, nth, ph, pf, nh)
+        ).astype(jnp.float32))
+    rmed, rlo, rhi = _chained_steady_s(
+        lambda r, i, prev: roll(tstate, prev), roundtrip_s,
+        schain=8, reps=2 if quick else 3)
+    out["oformer_rollout_samples_per_sec"] = round(nb / rmed, 3)
+    out["oformer_rollout_ms"] = round(rmed * 1e3, 3)
+    out["oformer_rollout_ms_min"] = round(rlo * 1e3, 3)
+    out["oformer_rollout_ms_max"] = round(rhi * 1e3, 3)
     out["oformer_rollout_steps"] = nh
+    if quick:
+        return out
+    med, _, _ = _timed_reps(
+        lambda: float(infer(state, batch, jnp.float32(0))), roundtrip_s)
+    out["oformer_infer_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
+    med, _, _ = _timed_reps(
+        lambda: float(roll(tstate, jnp.float32(0))), roundtrip_s)
+    out["oformer_rollout_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
+    rng = jax.random.PRNGKey(2)
+    out.update(_roofline_keys(
+        "oformer_train", lambda: _lower_train(task, state, batch, rng),
+        tms * 1e-3))
+    out.update(_roofline_keys(
+        "oformer_infer",
+        lambda: jax.jit(lambda s, b: jnp.sum(task.model.apply(
+            s.params, b[0], b[2], b[2], b[3], b[3], 1))).lower(state, batch),
+        smed))
+    out.update(_roofline_keys(
+        "oformer_rollout",
+        lambda: jax.jit(lambda s: jnp.sum(tp.model.apply(
+            s.params, xh, nth, nth, ph, pf, nh))).lower(tstate),
+        rmed))
     return out
 
 
 FAMILY_BASELINE_FILE = os.path.join(_HERE, "bench_families_baseline.json")
+FAMILY_BASELINE_V2_FILE = os.path.join(
+    _HERE, "bench_families_baseline_steady.json")
+
+# Env gates that reproduce each family's pre-optimization configuration
+# (the state at the round-3 baseline freeze), so the v2 baselines measure
+# the SAME steady-state protocol on the UNOPTIMIZED family — like-protocol
+# vs_baseline that still tracks the cumulative optimization gain
+# (VERDICT r4 weak #1 / next #2).
+_FAMILY_BASELINE_GATES = {
+    "ddpm": {"MCEDM_DDPM_PAIR": "0", "MCEDM_SHPAIR": "0"},
+    "fno": {"MCEDM_FNO_DFT": "0", "MCEDM_FNO_BF16": "0"},
+    "oformer": {"MCEDM_OFORMER_BF16": "0"},
+}
+_FAMILY_FNS = {"ddpm": bench_ddpm_family, "fno": bench_fno_family,
+               "oformer": bench_oformer_family}
+
+
+class _env_gates:
+    """Temporarily set trace-time env gates (restores previous values)."""
+
+    def __init__(self, gates):
+        self.gates = gates
+
+    def __enter__(self):
+        self.prev = {k: os.environ.get(k) for k in self.gates}
+        os.environ.update(self.gates)
+
+    def __exit__(self, *exc):
+        for k, v in self.prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _freeze_family_baselines_v2(roundtrip_s):
+    """First-run-only: measure the pre-optimization family configurations
+    (gates above) under the steady-state protocol and freeze them. The old
+    bench_families_baseline.json mixed protocols (its inference numbers
+    were per-dispatch-minus-roundtrip — garbage when compute << roundtrip,
+    the BENCH_r04 fno 32427-vs-4973 contradiction); v2 keys are
+    like-protocol with the current officials."""
+    import sys
+
+    base = {"protocol": "steady-state chained dispatches (see "
+                        "measure_sampling/_chained_steady_s)",
+            "gates": _FAMILY_BASELINE_GATES}
+    for fam, fn in _FAMILY_FNS.items():
+        try:
+            with _env_gates(_FAMILY_BASELINE_GATES[fam]):
+                base.update(fn(roundtrip_s, quick=True))
+        except Exception as e:  # pragma: no cover - device-specific
+            print(f"# baseline {fam} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    return base
 
 
 def family_metrics(roundtrip_s):
     """Per-family official numbers (VERDICT r3 #5), each with a frozen
-    first-recording baseline (bench_families_baseline.json — written once,
-    never rewritten, like bench_baseline.json)."""
+    like-protocol baseline (bench_families_baseline_steady.json — measured
+    once from the gate-disabled pre-optimization configs under the same
+    steady-state protocol, then never rewritten)."""
     import sys
 
     out = {}
-    for fn in (bench_ddpm_family, bench_fno_family, bench_oformer_family):
+    for fn in _FAMILY_FNS.values():
         try:
             out.update(fn(roundtrip_s))
         except Exception as e:  # pragma: no cover - device-specific
             print(f"# {fn.__name__} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     baseline = None
-    if os.path.exists(FAMILY_BASELINE_FILE):
-        with open(FAMILY_BASELINE_FILE) as f:
+    if os.path.exists(FAMILY_BASELINE_V2_FILE):
+        with open(FAMILY_BASELINE_V2_FILE) as f:
             baseline = json.load(f)
     if baseline is None and out:
-        baseline = dict(out)
+        baseline = _freeze_family_baselines_v2(roundtrip_s)
         try:
-            with open(FAMILY_BASELINE_FILE, "w") as f:
+            with open(FAMILY_BASELINE_V2_FILE, "w") as f:
                 json.dump(baseline, f, indent=2)
         except OSError:
             pass

@@ -37,3 +37,22 @@ def test_chain_key_matches_plain_fold_in():
     base = jax.random.PRNGKey(3)
     k = bench._chain_key(base, 5, jnp.float32(0))
     assert bool(jnp.all(k == jax.random.fold_in(base, 5)))
+
+
+def test_chain_key_nan_safe():
+    # a NaN/Inf from a previous dispatch must not perturb the chained key
+    # (ADVICE r4: float->uint32 of NaN is implementation-defined on TPU)
+    base = jax.random.PRNGKey(3)
+    for bad in (float("nan"), float("inf"), -float("inf")):
+        k = bench._chain_key(base, 5, jnp.float32(bad))
+        assert bool(jnp.all(k == jax.random.fold_in(base, 5)))
+
+
+def test_zero_like_preserves_value_and_dtype():
+    # the float-tensor chaining edge (FNO/OFormer steady-state inference)
+    # must be value- and dtype-neutral, including after NaN/Inf outputs
+    x = jnp.full((3,), 2.5, jnp.bfloat16)
+    for bad in (0.0, float("nan"), float("inf")):
+        z = bench._zero_like(x, jnp.float32(bad))
+        assert z.dtype == x.dtype
+        assert bool(jnp.all(z == x))
