@@ -52,17 +52,23 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
                                 n_time_steps: int = 128, T_end: float = 0.128,
                                 x_min: float = -0.5, x_max: float = 0.5,
                                 n2: int = 3, substeps: int = 4,
-                                scheme: str = "force"):
+                                scheme: str = "waveprop"):
     """Generate (h, u) trajectories: (n_traj, T, X) each, fully on device.
 
-    `substeps` integrates the FV scheme on a finer time grid than is stored,
-    for accuracy (the stored grid matches the reference resolution).
-    scheme: 'force' (centred FV, most diffusive), or 'waveprop' — the
-    Clawpack wave-propagation Godunov update with Roe+efix waves and the
-    van Leer limiter, i.e. the numerical scheme the reference's datasets
-    were actually produced with (sim_dam_break_1d.py:424-446); boundary is
-    extrapolation to match SwPeriodic1D.set_boundary_conditions (the
-    reference uses extrap BCs even for the periodic-IC system).
+    scheme: 'waveprop' (DEFAULT since r5) — the Clawpack wave-propagation
+    Godunov update with Roe+efix waves and the van Leer limiter at a
+    CFL-adaptive dt (cfl_desired=0.9), i.e. the numerical scheme AND time
+    stepping the reference's datasets were actually produced with
+    (sim_dam_break_1d.py:424-446, ClawSolver1D classic defaults);
+    `substeps` is its static per-interval substep BOUND. 'force' (centred
+    FV, most diffusive — the r1-r4 default) keeps `substeps` as a fixed
+    subdivision. Boundary is extrapolation to match
+    SwPeriodic1D.set_boundary_conditions (the reference uses extrap BCs
+    even for the periodic-IC system).
+
+    Returns (trajs, x, t, lambdas, gammas, deficit): deficit is the max
+    un-integrated time in any stored interval (0.0 when the substep bound
+    sufficed — writers check it on host).
     """
     step = (x_max - x_min) / xdim
     x = jnp.linspace(x_min + step / 2, x_max - step / 2, xdim)
@@ -73,16 +79,16 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
 
     if scheme == "waveprop":
         from m_cedm_tpu.physics.riemann import (conservative_to_primitive,
-                                                integrate)
+                                                integrate_adaptive)
 
         q0 = jnp.stack([h0, jnp.zeros_like(h0)], axis=-1)
         dt_store = T_end / n_time_steps
-        traj_q = integrate(q0, dt_store, step, n_time_steps,
-                           substeps=substeps, scheme="waveprop",
-                           limiter="vanleer", boundary="extrap")
+        traj_q, deficit = integrate_adaptive(
+            q0, dt_store, step, n_time_steps, max_substeps=substeps,
+            scheme="waveprop", limiter="vanleer", boundary="extrap")
         trajs = conservative_to_primitive(traj_q)
         t = jnp.linspace(0.0, T_end, n_time_steps)
-        return trajs, x, t, lambdas, gammas
+        return trajs, x, t, lambdas, gammas, deficit
 
     fv = SweFvLoss(Tn=T_end, x_min=x_min, x_max=x_max)
     dt = T_end / (n_time_steps * substeps)
@@ -102,7 +108,7 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
 
     trajs = jax.vmap(integrate)(h0)
     t = jnp.linspace(0.0, T_end, n_time_steps)
-    return trajs, x, t, lambdas, gammas
+    return trajs, x, t, lambdas, gammas, jnp.zeros(())
 
 
 @partial(jax.jit, static_argnames=("xdim", "n_time_steps", "n_traj",
@@ -110,7 +116,7 @@ def generate_swe_periodic_batch(key, n_traj: int, xdim: int = 128,
 def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
                                  n_time_steps: int = 128, T_end: float = 1.28,
                                  x_min: float = -2.5, x_max: float = 2.5,
-                                 substeps: int = 8, scheme: str = "godunov"):
+                                 substeps: int = 8, scheme: str = "waveprop"):
     """Dam-break / Gaussian-perturbation trajectories (the `swe` system).
 
     Initial conditions mirror the reference generator
@@ -118,12 +124,18 @@ def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
       h0 = h_in + eps * exp(-0.5 (x - x0)^2 / sigma^2),  hu0 = init_u
       h_in ~ U(1.2, 5.2), eps ~ U(0.05, 1), x0 ~ U(-1, 1),
       init_u ~ U(-2.2, 2.2), sigma ~ U(0.2, 2)
-    Integrated with the HLL Godunov solver (physics/riemann.py) on
-    [-2.5, 2.5] with extrapolation boundaries; scheme='waveprop' swaps in
-    the Clawpack wave-propagation update (Roe+efix waves, van Leer
-    limiter) — the reference's actual scheme (sim_dam_break_1d.py:424-446).
+    Integrated on [-2.5, 2.5] with extrapolation boundaries.
+    scheme='waveprop' (DEFAULT since r5) is the Clawpack wave-propagation
+    update (Roe+efix waves, van Leer limiter) at a CFL-adaptive dt — the
+    reference's actual scheme and stepping (sim_dam_break_1d.py:424-446);
+    `substeps` is its static per-interval substep bound. 'godunov' (HLL,
+    first-order — the r1-r4 default) keeps `substeps` fixed.
+
+    Returns (trajs, x, t, consts, deficit) — see
+    generate_swe_periodic_batch for deficit semantics.
     """
-    from m_cedm_tpu.physics.riemann import conservative_to_primitive, integrate
+    from m_cedm_tpu.physics.riemann import (conservative_to_primitive,
+                                            integrate, integrate_adaptive)
 
     step = (x_max - x_min) / xdim
     x = jnp.linspace(x_min + step / 2, x_max - step / 2, xdim)
@@ -140,27 +152,47 @@ def generate_swe_dam_break_batch(key, n_traj: int, xdim: int = 128,
     q0 = jnp.stack([h0, hu0], axis=-1)
 
     dt_store = T_end / n_time_steps
-    traj_q = integrate(q0, dt_store, step, n_time_steps, substeps=substeps,
-                       flux="hll", boundary="extrap", scheme=scheme,
-                       limiter="vanleer")
+    if scheme == "waveprop":
+        traj_q, deficit = integrate_adaptive(
+            q0, dt_store, step, n_time_steps, max_substeps=substeps,
+            boundary="extrap", scheme="waveprop", limiter="vanleer")
+    else:
+        traj_q = integrate(q0, dt_store, step, n_time_steps,
+                           substeps=substeps, flux="hll", boundary="extrap",
+                           scheme=scheme, limiter="vanleer")
+        deficit = jnp.zeros(())
     trajs = conservative_to_primitive(traj_q)
     t = jnp.linspace(0.0, T_end, n_time_steps)
     consts = dict(inner_height=h_in[:, 0], init_stimulus=eps[:, 0],
                   x0=x0[:, 0], init_u=init_u[:, 0], sigma=sigma[:, 0])
-    return trajs, x, t, consts
+    return trajs, x, t, consts, deficit
+
+
+def _check_deficit(deficit, what: str):
+    """Host-side completeness check for CFL-adaptive integration: a
+    positive deficit means the static substep bound was too small for the
+    CFL-limited dt and part of an interval went un-integrated."""
+    d = float(deficit)
+    if d > 0.0:
+        raise RuntimeError(
+            f"{what}: CFL-adaptive integration left {d:.3e}s un-integrated "
+            "in some interval — raise `substeps` (the static bound)")
 
 
 def write_swe_dam_break_dataset(path: str, key, n_traj: int, xdim: int = 128,
                                 n_time_steps: int = 128, T_end: float = 1.28,
                                 seed_offset: int = 0,
-                                scheme: str = "godunov"):
-    trajs, x, t, consts = generate_swe_dam_break_batch(
+                                scheme: str = "waveprop"):
+    trajs, x, t, consts, deficit = generate_swe_dam_break_batch(
         key, n_traj, xdim, n_time_steps, T_end, scheme=scheme)
-    trajs = np.asarray(trajs)
+    _check_deficit(deficit, f"swe dam-break {path}")
+    trajs = np.asarray(trajs, np.float32)  # storage is f32 even under --f64
     write_store(path, inputs=trajs[..., 0:1], targets=trajs[..., 1:2],
-                x=np.broadcast_to(np.asarray(x), (n_traj, xdim)),
-                t=np.broadcast_to(np.asarray(t), (n_traj, n_time_steps)),
-                consts={k: np.asarray(v) for k, v in consts.items()},
+                x=np.broadcast_to(np.asarray(x, np.float32), (n_traj, xdim)),
+                t=np.broadcast_to(np.asarray(t, np.float32),
+                                  (n_traj, n_time_steps)),
+                consts={k: np.asarray(v, np.float32)
+                        for k, v in consts.items()},
                 seed_offset=seed_offset)
 
 
@@ -231,16 +263,18 @@ def generate_darcy_batch(key, n_fields: int, size: int = 128, cg_iters: int = 40
 
 def write_swe_dataset(path: str, key, n_traj: int, xdim: int = 128,
                       n_time_steps: int = 128, T_end: float = 0.128,
-                      seed_offset: int = 0, scheme: str = "force"):
-    trajs, x, t, lambdas, gammas = generate_swe_periodic_batch(
+                      seed_offset: int = 0, scheme: str = "waveprop"):
+    trajs, x, t, lambdas, gammas, deficit = generate_swe_periodic_batch(
         key, n_traj, xdim, n_time_steps, T_end, scheme=scheme)
-    trajs = np.asarray(trajs)
+    _check_deficit(deficit, f"swe_per {path}")
+    trajs = np.asarray(trajs, np.float32)  # storage is f32 even under --f64
     h = trajs[..., 0:1]
     u = trajs[..., 1:2]
     consts = {"init_u": np.zeros(n_traj, np.float32)}
     write_store(path, inputs=h, targets=u,
-                x=np.broadcast_to(np.asarray(x), (n_traj, xdim)),
-                t=np.broadcast_to(np.asarray(t), (n_traj, n_time_steps)),
+                x=np.broadcast_to(np.asarray(x, np.float32), (n_traj, xdim)),
+                t=np.broadcast_to(np.asarray(t, np.float32),
+                                  (n_traj, n_time_steps)),
                 consts=consts, seed_offset=seed_offset)
 
 
@@ -266,10 +300,13 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scheme", default=None,
                    choices=["force", "godunov", "waveprop"],
-                   help="SWE integrator: per-system default (force for "
-                        "swe_per, godunov/HLL for swe), or 'waveprop' — the "
-                        "reference's Clawpack scheme (Roe+efix waves, van "
-                        "Leer limiter)")
+                   help="SWE integrator: default 'waveprop' (the "
+                        "reference's Clawpack scheme — Roe+efix waves, van "
+                        "Leer limiter, CFL-adaptive dt); 'force' / "
+                        "'godunov' keep the r1-r4 fixed-dt schemes")
+    p.add_argument("--f64", action="store_true",
+                   help="integrate in float64 (the reference generator is "
+                        "f64 numpy/Fortran); storage stays f32")
     p.add_argument("--config", default=None,
                    help="configs/generate/*.yaml dataset spec (overrides "
                         "--system/--res/--n-train/--n-test)")
@@ -285,11 +322,13 @@ def main():
         args.n_train = gen_cfg.get("n_train", args.n_train)
         args.n_test = gen_cfg.get("n_test", args.n_test)
 
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
     key = jax.random.PRNGKey(args.seed)
     k_train, k_test = jax.random.split(key)
     res = args.res
     if args.system == "swe_per":
-        scheme = args.scheme or "force"
+        scheme = args.scheme or "waveprop"
         sub = base = f"1D_swp_{res}_per"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
         write_swe_dataset(os.path.join(args.out, sub, f"{base}_train.h5"),
@@ -299,7 +338,7 @@ def main():
                           k_test, args.n_test, res, res, 0.128,
                           seed_offset=1000, scheme=scheme)
     elif args.system == "swe":
-        scheme = args.scheme or "godunov"
+        scheme = args.scheme or "waveprop"
         sub = base = f"1D_swp_{res}"
         os.makedirs(os.path.join(args.out, sub), exist_ok=True)
         write_swe_dam_break_dataset(

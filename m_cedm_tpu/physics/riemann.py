@@ -371,6 +371,68 @@ def godunov_step(q, dt, dx, g=G_DEFAULT, flux: str = "hll",
     return q - dt / dx * (f[..., 1:, :] - f[..., :-1, :])
 
 
+def max_wave_speed(q, g=G_DEFAULT):
+    """Max |u| + c over the grid, per trajectory: q (..., X, 2) -> (...,).
+    This is Clawpack's CFL quantity for 1D SWE (the classic solver computes
+    cfl = dt/dx * max|s| from the Riemann speeds; |u|+sqrt(gh) bounds them)."""
+    h = jnp.maximum(q[..., 0], 0.0)
+    u = q[..., 1] / (q[..., 0] + EPS)
+    return jnp.max(jnp.abs(u) + jnp.sqrt(g * h), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_store", "max_substeps", "flux",
+                                   "boundary", "scheme", "limiter"))
+def integrate_adaptive(q0, dt_store, dx, n_store: int, max_substeps: int = 8,
+                       g=G_DEFAULT, flux: str = "hll",
+                       boundary: str = "extrap", scheme: str = "waveprop",
+                       limiter: str = "vanleer", cfl_desired: float = 0.9):
+    """CFL-adaptive integration: per-substep dt from the max wave speed.
+
+    The reference's solver steps at an adaptive CFL-limited dt
+    (sim_dam_break_1d.py:424-446 configures ClawSolver1D, whose classic
+    defaults are cfl_desired=0.9 / cfl_max=1.0) rather than a fixed
+    subdivision of the output interval. Here each stored interval of
+    length `dt_store` is covered by at most `max_substeps` sub-steps with
+    dt_i = min(cfl_desired * dx / max|s|, t_remaining), per trajectory
+    (dt broadcasts as (..., 1, 1) into the step update). Exhausted
+    intervals step with dt=0 (identity update), so `max_substeps` is a
+    static bound, not a fixed count.
+
+    Returns (traj, deficit): traj (..., n_store, X, 2) with q0 first, and
+    deficit = the max un-integrated time left in any interval (0.0 when
+    `max_substeps` sufficed — callers must check on host).
+    """
+
+    def one_step(q, dt):
+        if scheme == "waveprop":
+            return waveprop_step(q, dt, dx, g, limiter, boundary)
+        return godunov_step(q, dt, dx, g, flux, boundary)
+
+    def advance_interval(q):
+        t_rem0 = jnp.full(q.shape[:-2], dt_store, q.dtype)
+
+        def sub(carry, _):
+            qi, t_rem = carry
+            dt = jnp.minimum(cfl_desired * dx / (max_wave_speed(qi, g) + EPS),
+                             t_rem)
+            qn = one_step(qi, dt[..., None, None])
+            return (qn, t_rem - dt), None
+
+        (qn, t_rem), _ = jax.lax.scan(sub, (q, t_rem0), None,
+                                      length=max_substeps)
+        return qn, jnp.max(t_rem)
+
+    def outer(carry, _):
+        q, deficit = carry
+        qn, rem = advance_interval(q)
+        return (qn, jnp.maximum(deficit, rem)), qn
+
+    (_, deficit), traj = jax.lax.scan(
+        outer, (q0, jnp.zeros((), q0.dtype)), None, length=n_store - 1)
+    traj = jnp.moveaxis(traj, 0, -3)
+    return jnp.concatenate([q0[..., None, :, :], traj], axis=-3), deficit
+
+
 @partial(jax.jit, static_argnames=("n_store", "substeps", "flux", "boundary",
                                    "scheme", "limiter"))
 def integrate(q0, dt_store, dx, n_store: int, substeps: int = 4,

@@ -24,7 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", choices=["fno", "oformer"], required=True)
     ap.add_argument("--calls", type=int, default=8)
-    ap.add_argument("--mode", choices=["train", "infer"], default="train")
+    ap.add_argument("--mode", choices=["train", "infer", "rollout"],
+                    default="train")
     ap.add_argument("--out", default=None)
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=30)
@@ -62,6 +63,32 @@ def main():
                 for i in range(args.calls):
                     s, m = task.train_step(s, batch, jax.random.fold_in(key, i))
                 float(next(iter(m.values())))
+        elif args.mode == "rollout":
+            # the 64->64-step OFormer time-pred rollout (the bench's
+            # oformer_rollout_* key — flat at 1.046x through r4 with no
+            # profile; VERDICT r4 weak #4). Mirrors bench_oformer_family's
+            # rollout construction exactly.
+            assert args.family == "oformer", "rollout profiles oformer only"
+            from m_cedm_tpu.tasks import OformerTimePredTask
+
+            nb, RES = 16, bench_mod.RES
+            T = RES
+            xtok, _, nt, pos, _ = batch
+            nh = T // 2
+            tp = OformerTimePredTask(bench_mod._oformer_enc_dec(RES, T))
+            tp.set_pde_loss_function("swe_per", False)
+            tstate = tp.init_state(jax.random.PRNGKey(0))
+            xh = jax.random.normal(jax.random.PRNGKey(7),
+                                   (nb, 1, nh * RES, 3))
+            nth = jnp.zeros((nb, nh * RES, 1), jnp.int32)
+            ph = pos[:, :nh * RES]
+            pf = pos[:, nh * RES:]
+            state = tstate
+
+            def one(v):
+                return tp.model.apply(state.params, v, nth, nth, ph, pf, nh)
+
+            batch = (xh,)
         else:
             if args.family == "fno":
                 u, x, t, _ = batch
@@ -83,7 +110,7 @@ def main():
                     acc = jnp.sum(one(batch[0] + 1e-30 * acc))
                 return s, acc
 
-        if args.mode == "infer":
+        if args.mode in ("infer", "rollout"):
             jf = jax.jit(f)
             key = jax.random.PRNGKey(1)
             _, val = jf(state, key)

@@ -36,7 +36,7 @@ hp = to_dotdict({
 })
 
 # data: 96 train + 8 test trajectories
-trajs, x, t, _, _ = generate_swe_periodic_batch(jax.random.PRNGKey(0), 104,
+trajs, x, t, *_ = generate_swe_periodic_batch(jax.random.PRNGKey(0), 104,
                                                 RES, RES, 0.128)
 trajs = np.asarray(trajs)
 h_all, u_all = trajs[..., 0:1], trajs[..., 1:2]
