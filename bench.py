@@ -446,11 +446,17 @@ def _roofline_keys(prefix, make_lowered, t_s):
         return {}
     mfu = fl / t_s / PEAK_BF16_FLOPS
     bw = by / t_s / PEAK_HBM_BW
+    # bytes are LOGICAL (per-op operand+output sizes): on TPU mid-size
+    # tensors stay VMEM-resident between ops, so bw_util > 1 means the
+    # program beat the all-bytes-through-HBM roofline (VMEM reuse), not
+    # that the hardware exceeded its peak.
+    bound = "hbm_bandwidth" if bw > mfu else "mxu_flops"
+    if bw >= 1.0:
+        bound = "past_logical_bytes_roofline (VMEM-resident working set)"
     return {f"mfu_{prefix}": round(mfu, 4),
             f"{prefix}_hbm_bw_util": round(bw, 4),
             f"{prefix}_flops": fl, f"{prefix}_bytes": by,
-            f"bound_by_{prefix}": ("hbm_bandwidth" if bw > mfu
-                                   else "mxu_flops")}
+            f"bound_by_{prefix}": bound}
 
 
 def _lower_train(task, state, batch, rng):
@@ -894,6 +900,11 @@ def main():
         "train_protocol": ("steady-state: 16 data-dependent chained "
                            "dispatches, one final materialization, "
                            "wall/16; latency kept as *_latency_ms"),
+        "roofline_protocol": ("flops/bytes = XLA cost analysis + Pallas "
+                              "ledger on the production graph; bytes are "
+                              "LOGICAL per-op traffic, so *_hbm_bw_util > 1 "
+                              "means VMEM-resident reuse beat the "
+                              "all-bytes-through-HBM bound"),
         "fp32_samples_per_sec": round(s32, 3),
         "fp32_samples_per_sec_min": round(s32_lo, 3),
         "fp32_samples_per_sec_max": round(s32_hi, 3),

@@ -18,9 +18,11 @@ TPU-first notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from m_cedm_tpu.models.layers import (
@@ -446,13 +448,35 @@ class UNetBlock(nn.Module):
             return x
         b, hh, ww, _ = x.shape
         y = adm_group_norm(c, eps=self.eps)(x)
-        qkv = Conv2d(c * 3, kernel=1, **INIT, name="qkv")(y)
-        qkv = qkv.reshape(b, hh * ww, 3, num_heads, c // num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # (B, L, H, D) -> (B*H, L, D)
-        q = q.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
-        k = k.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
-        v = v.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+        qkv_conv = Conv2d(c * 3, kernel=1, **INIT, name="qkv")
+        if os.environ.get("MCEDM_QKV_SPLIT", "1") == "1":
+            # one 3c-wide matmul then a (B,L,3,heads,d) split costs a
+            # relayout copy per attention site (the 192-lane tensor
+            # re-tiles on the split — 12.6 MB/site in the fwd HLO byte
+            # audit); slicing the SAME "qkv" param into three c-wide
+            # matmuls keeps channels at c end-to-end and the copy never
+            # exists. Identical params/math, different contraction
+            # grouping.
+            wqkv, bqkv = qkv_conv(y, params_only=True)  # (c,3c), (3c,)
+            y_flat = y.reshape(b, hh * ww, c)
+
+            def _one(i):
+                t = jnp.einsum(
+                    "blc,co->blo", y_flat,
+                    wqkv[:, i * c:(i + 1) * c].astype(y.dtype))
+                t = t + bqkv[i * c:(i + 1) * c].astype(t.dtype)
+                return t.reshape(b, hh * ww, num_heads, -1).transpose(
+                    0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+
+            q, k, v = _one(0), _one(1), _one(2)
+        else:
+            qkv = qkv_conv(y)
+            qkv = qkv.reshape(b, hh * ww, 3, num_heads, c // num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            # (B, L, H, D) -> (B*H, L, D)
+            q = q.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+            k = k.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
+            v = v.transpose(0, 2, 1, 3).reshape(b * num_heads, hh * ww, -1)
         a = fp32_softmax_attention(q, k, v)
         a = a.reshape(b, num_heads, hh * ww, -1).transpose(0, 2, 1, 3).reshape(b, hh, ww, c)
         return (Conv2d(c, kernel=1, **INIT_ZERO, name="proj")(a) + x) * self.skip_scale
@@ -681,6 +705,40 @@ class AdmUNet(nn.Module):
                                      stats[1] if stats is not None else zc_,
                                      _adm_groups(cout), 1e-5, None,
                                      stats is not None)
+            if os.environ.get("MCEDM_OUTPAIR", "1") == "1":
+                # consume the paired tensor directly: the unpair bitcast is
+                # NOT free at the (8,128)-tiled layout (2 relayout copies,
+                # 67 MB/call in the fwd HLO byte audit). Run the out conv
+                # in paired space with a block tap matrix (3,3,2C,4) —
+                # output parity p taps paired cols {w2-1,w2} (p=0) /
+                # {w2,w2+1} (p=1), input parity q = channel half — then
+                # unpair the tiny (B,H,W2,4) result instead.
+                w_oc, b_oc = out_conv(unpair_array(y[:1, :1, :1]),
+                                      params_only=True)  # (3,3,C,2), (2,)
+                w_oc = w_oc.astype(y.dtype)
+                z = jnp.zeros_like(w_oc[:, :1])  # (3,1,C,2)
+                # j=0 (col w2-1): p=0 <- dx=-1 on q=1
+                t_j0 = jnp.concatenate([
+                    jnp.concatenate([z, w_oc[:, 0:1]], axis=2),
+                    jnp.zeros_like(jnp.concatenate([z, z], axis=2))], axis=3)
+                # j=1 (col w2): p=0 <- dx=0 (q=0), dx=+1 (q=1);
+                #               p=1 <- dx=-1 (q=0), dx=0 (q=1)
+                t_j1 = jnp.concatenate([
+                    jnp.concatenate([w_oc[:, 1:2], w_oc[:, 2:3]], axis=2),
+                    jnp.concatenate([w_oc[:, 0:1], w_oc[:, 1:2]], axis=2)],
+                    axis=3)
+                # j=2 (col w2+1): p=1 <- dx=+1 on q=0
+                t_j2 = jnp.concatenate([
+                    jnp.zeros_like(jnp.concatenate([z, z], axis=2)),
+                    jnp.concatenate([w_oc[:, 2:3], z], axis=2)], axis=3)
+                taps = jnp.concatenate([t_j0, t_j1, t_j2], axis=1)
+                y4 = jax.lax.conv_general_dilated(
+                    y, taps, window_strides=(1, 1),
+                    padding=[(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y4 = y4 + jnp.concatenate([b_oc, b_oc]).astype(y4.dtype)
+                bb, hh_, w2_, _ = y4.shape
+                return y4.reshape(bb, hh_, w2_ * 2, cfg.out_ch)
             return out_conv(unpair_array(y))
         if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)

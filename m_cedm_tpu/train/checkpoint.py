@@ -48,6 +48,10 @@ class CheckpointManager:
                 self.best_value = value
                 self.best_step = step
 
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed."""
+        self._mgr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
         self._mgr.wait_until_finished()
         return self._mgr.latest_step()

@@ -158,6 +158,10 @@ class Trainer:
         if profiling:
             jax.profiler.stop_trace()
 
+        # async saves overlap training; the last one must commit before fit
+        # returns (a process exiting mid-commit hits orbax's shut-down
+        # executor: "cannot schedule new futures after shutdown")
+        self.ckpt.wait_until_finished()
         self.state = state
         return state
 

@@ -1251,10 +1251,53 @@ class TestPairedIO:
             treedef, [0.05 * jax.random.normal(k, l.shape, l.dtype)
                       for k, l in zip(keys, leaves)])
 
+        # MCEDM_OUTPAIR reorders the out-conv accumulation (paired block
+        # taps), so the strict bitwise arm pins it off; the tolerance arm
+        # below covers the production default.
+        monkeypatch.setenv("MCEDM_OUTPAIR", "0")
         monkeypatch.setenv("MCEDM_PAIRIO", "0")
         base = np.asarray(net.apply(params, x, t))
         g0 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
         monkeypatch.setenv("MCEDM_PAIRIO", "1")
+        got = np.asarray(net.apply(params, x, t))
+        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        np.testing.assert_array_equal(got, base)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+        # production default: paired block-tap out conv (same math, 18
+        # half-zero taps instead of 9 — accumulation order differs)
+        monkeypatch.setenv("MCEDM_OUTPAIR", "1")
+        got_op = np.asarray(net.apply(params, x, t))
+        gop = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        np.testing.assert_allclose(got_op, base, rtol=1e-5, atol=1e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(gop)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b_ / scale, a / scale,
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_qkv_split_bit_identical(self, monkeypatch):
+        """MCEDM_QKV_SPLIT slices the one qkv param into three c-wide
+        matmuls (kills the 192-lane split relayout); per-output-channel
+        contractions are unchanged, so outputs and grads are bitwise
+        equal to the single-matmul composition."""
+        from m_cedm_tpu.models.adm_unet import AdmUNet, AdmUNetConfig
+
+        cfg = AdmUNetConfig(in_channels=2, out_ch=2, ch=32, ch_mult=(1, 1),
+                            num_res_blocks=1, attn_resolutions=(16,),
+                            resolution=32)
+        net = AdmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([1.5, 0.3])
+        params = net.init(jax.random.PRNGKey(1), x, t)
+
+        monkeypatch.setenv("MCEDM_QKV_SPLIT", "0")
+        base = np.asarray(net.apply(params, x, t))
+        g0 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        monkeypatch.setenv("MCEDM_QKV_SPLIT", "1")
         got = np.asarray(net.apply(params, x, t))
         g1 = jax.grad(lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
         np.testing.assert_array_equal(got, base)

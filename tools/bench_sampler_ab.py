@@ -31,7 +31,8 @@ _GATE_KEYS = ("MCEDM_BLOCK_FUSION", "MCEDM_DUAL", "MCEDM_UPCONV",
               "MCEDM_BWD_KERNEL", "MCEDM_PAD", "MCEDM_TILE_R",
               "MCEDM_MEGA", "MCEDM_STATS_TILE", "MCEDM_PAIR",
               "MCEDM_PAIRIO", "MCEDM_1X1", "MCEDM_IN_HEAD", "MCEDM_SHPAIR",
-              "MCEDM_UPDENSE", "MCEDM_POOL_IDX")
+              "MCEDM_UPDENSE", "MCEDM_POOL_IDX", "MCEDM_OUTPAIR",
+              "MCEDM_QKV_SPLIT")
 
 
 def main():

