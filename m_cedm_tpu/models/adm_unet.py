@@ -708,37 +708,14 @@ class AdmUNet(nn.Module):
             if os.environ.get("MCEDM_OUTPAIR", "1") == "1":
                 # consume the paired tensor directly: the unpair bitcast is
                 # NOT free at the (8,128)-tiled layout (2 relayout copies,
-                # 67 MB/call in the fwd HLO byte audit). Run the out conv
-                # in paired space with a block tap matrix (3,3,2C,4) —
-                # output parity p taps paired cols {w2-1,w2} (p=0) /
-                # {w2,w2+1} (p=1), input parity q = channel half — then
-                # unpair the tiny (B,H,W2,4) result instead.
+                # 67 MB/call in the fwd HLO byte audit); measured 1.057x on
+                # the 50-step sampler (pallas/fused_norm_conv.py
+                # paired_out_conv).
+                from m_cedm_tpu.pallas.fused_norm_conv import paired_out_conv
+
                 w_oc, b_oc = out_conv(unpair_array(y[:1, :1, :1]),
                                       params_only=True)  # (3,3,C,2), (2,)
-                w_oc = w_oc.astype(y.dtype)
-                z = jnp.zeros_like(w_oc[:, :1])  # (3,1,C,2)
-                # j=0 (col w2-1): p=0 <- dx=-1 on q=1
-                t_j0 = jnp.concatenate([
-                    jnp.concatenate([z, w_oc[:, 0:1]], axis=2),
-                    jnp.zeros_like(jnp.concatenate([z, z], axis=2))], axis=3)
-                # j=1 (col w2): p=0 <- dx=0 (q=0), dx=+1 (q=1);
-                #               p=1 <- dx=-1 (q=0), dx=0 (q=1)
-                t_j1 = jnp.concatenate([
-                    jnp.concatenate([w_oc[:, 1:2], w_oc[:, 2:3]], axis=2),
-                    jnp.concatenate([w_oc[:, 0:1], w_oc[:, 1:2]], axis=2)],
-                    axis=3)
-                # j=2 (col w2+1): p=1 <- dx=+1 on q=0
-                t_j2 = jnp.concatenate([
-                    jnp.zeros_like(jnp.concatenate([z, z], axis=2)),
-                    jnp.concatenate([w_oc[:, 2:3], z], axis=2)], axis=3)
-                taps = jnp.concatenate([t_j0, t_j1, t_j2], axis=1)
-                y4 = jax.lax.conv_general_dilated(
-                    y, taps, window_strides=(1, 1),
-                    padding=[(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                y4 = y4 + jnp.concatenate([b_oc, b_oc]).astype(y4.dtype)
-                bb, hh_, w2_, _ = y4.shape
-                return y4.reshape(bb, hh_, w2_ * 2, cfg.out_ch)
+                return paired_out_conv(y, w_oc, b_oc)
             return out_conv(unpair_array(y))
         if conv_fusion_enabled() and out_fusion_enabled():
             g, b = out_norm(x, fold_only=True)

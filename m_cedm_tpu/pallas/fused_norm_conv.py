@@ -903,6 +903,41 @@ def pair_array(x, splits=None):
          x[..., c1:].reshape(b, h, w // 2, 2 * c2)], -1)
 
 
+def paired_out_conv(yp, w, bias):
+    """conv3x3_same(unpair(yp)) computed WITHOUT unpairing: the unpair
+    bitcast is not free at the (8,128)-tiled layout (two relayout copies
+    of the full activation in the optimized HLO), so run the conv in
+    paired space with a (3, 3, 2C, 2O) block tap matrix — output parity p
+    taps paired cols {w2-1, w2} (p=0) / {w2, w2+1} (p=1), input parity q
+    is the channel half — and unpair the (B, H, W/2, 2O) result instead
+    (tiny when O is the net's out_ch). Exact same 9*C terms per output,
+    different accumulation order. Used by both U-Net out heads
+    (MCEDM_OUTPAIR / the DDPM pairio out head)."""
+    o = w.shape[-1]
+    w = w.astype(yp.dtype)
+    z = jnp.zeros_like(w[:, :1])  # (3, 1, C, O)
+    zz = jnp.concatenate([z, z], axis=2)  # (3, 1, 2C, O)
+    # j=0 (col w2-1): p=0 <- dx=-1 on q=1
+    t_j0 = jnp.concatenate(
+        [jnp.concatenate([z, w[:, 0:1]], axis=2), zz], axis=3)
+    # j=1 (col w2): p=0 <- dx=0 (q=0), dx=+1 (q=1);
+    #               p=1 <- dx=-1 (q=0), dx=0 (q=1)
+    t_j1 = jnp.concatenate(
+        [jnp.concatenate([w[:, 1:2], w[:, 2:3]], axis=2),
+         jnp.concatenate([w[:, 0:1], w[:, 1:2]], axis=2)], axis=3)
+    # j=2 (col w2+1): p=1 <- dx=+1 on q=0
+    t_j2 = jnp.concatenate(
+        [zz, jnp.concatenate([w[:, 2:3], z], axis=2)], axis=3)
+    taps = jnp.concatenate([t_j0, t_j1, t_j2], axis=1)
+    y = jax.lax.conv_general_dilated(
+        yp, taps, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + jnp.concatenate([bias, bias]).astype(y.dtype)
+    b, h, w2, _ = y.shape
+    return y.reshape(b, h, w2 * 2, o)
+
+
 def _pallas_gnsc_paired(x, gamma, beta, w, bias, num_groups, eps,
                         x2=None, residual=None, residual2=None,
                         skip_w=None, skip_b=None,

@@ -1581,6 +1581,49 @@ class TestDdpmPaired:
         got = np.asarray(net.apply(params, x, t))
         np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
 
+    def test_net_pairio_threading_matches(self, monkeypatch):
+        """MCEDM_DDPM_PAIRIO end-to-end: paired skips, dual-order decoder
+        concats, chained output stats, paired out head — outputs and
+        grads match the pure-XLA composition (r5; 518.9 -> 341.8 ms
+        same-session on the joint DDIM sampler)."""
+        from m_cedm_tpu.models.ddpm_unet import DdpmUNet, DdpmUNetConfig
+
+        self._force(monkeypatch)
+        cfg = DdpmUNetConfig(in_channels=2, out_ch=2, ch=32, ch_mult=(1, 1),
+                             num_res_blocks=1, attn_resolutions=(16,),
+                             resolution=32)
+        net = DdpmUNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 2))
+        t = jnp.asarray([3, 7], jnp.int32)
+        params = net.init(jax.random.PRNGKey(1), x, t)
+        leaves, td = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            td, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                 for k, l in zip(keys, leaves)])
+
+        def run(pairio):
+            monkeypatch.setenv("MCEDM_DDPM_PAIR", "1")
+            monkeypatch.setenv("MCEDM_DDPM_PAIRIO", pairio)
+            y = np.asarray(net.apply(params, x, t))
+            g = jax.grad(
+                lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+            return y, g
+
+        monkeypatch.setenv("MCEDM_DDPM_PAIRIO", "0")
+        monkeypatch.setenv("MCEDM_DDPM_PAIR", "0")
+        base = np.asarray(net.apply(params, x, t))
+        gbase = jax.grad(
+            lambda p: jnp.sum(jnp.sin(net.apply(p, x, t))))(params)
+        got, ggot = run("1")
+        np.testing.assert_allclose(got, base, rtol=2e-5, atol=2e-5)
+        for a, b_ in zip(jax.tree_util.tree_leaves(gbase),
+                         jax.tree_util.tree_leaves(ggot)):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(b_ / scale, a / scale,
+                                       rtol=2e-4, atol=2e-4)
+
 
 class TestShiftedPair:
     """Shifted-pair tap layout (MCEDM_SHPAIR): 6 dense (2C, 2O) matmuls

@@ -28,12 +28,18 @@ _BYTES = {"bf16": 2, "f32": 4, "s32": 4, "u32": 4, "f16": 2, "s8": 1,
           "u8": 1, "pred": 1}
 
 
+_META_RE = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+_OPNAME_RE = re.compile(r'op_name="([^"]+)"')
+
+
 def weigh(txt, top=25):
     """(total_mb, per_kind_mb, top_lines) for relayout ops in optimized HLO.
     `bitcast` is counted separately (it is free — included for visibility,
-    excluded from the total)."""
+    excluded from the total). Each top line carries the set of source
+    locations (file:line from HLO metadata) that produced it."""
     per_kind = collections.Counter()
     lines = collections.Counter()
+    srcs = collections.defaultdict(collections.Counter)
     for line in txt.splitlines():
         m = _SHAPE_RE.search(line)
         if not m:
@@ -46,9 +52,19 @@ def weigh(txt, top=25):
         if kind != "bitcast":
             sig = f"{kind} {dt}[{dims}]"
             lines[sig] += n
+            sm = _META_RE.search(line)
+            om = _OPNAME_RE.search(line)
+            loc = (f"{os.path.basename(sm.group(1))}:{sm.group(2)}"
+                   if sm else "?")
+            if om:
+                # last two op-name segments carry the module path
+                parts = om.group(1).split("/")
+                loc += " " + "/".join(parts[-3:-1][:2])
+            srcs[sig][loc] += n
     total = sum(v for k, v in per_kind.items() if k != "bitcast")
-    return total / 1e6, {k: v / 1e6 for k, v in per_kind.items()}, \
-        lines.most_common(top)
+    top_lines = [(sig, n, srcs[sig].most_common(2))
+                 for sig, n in lines.most_common(top)]
+    return total / 1e6, {k: v / 1e6 for k, v in per_kind.items()}, top_lines
 
 
 def main():
@@ -87,8 +103,9 @@ def main():
     print(f"train step relayout traffic: {tot:.0f} MB/step "
           f"({', '.join(f'{k} {v:.0f}' for k, v in kinds.items())})")
     print(f"\n== top {args.top} relayout shapes (MB/step) ==")
-    for sig, n in top_lines:
-        print(f"  {n/1e6:8.1f}  {sig}")
+    for sig, n, locs in top_lines:
+        where = "; ".join(f"{l} ({v/1e6:.0f})" for l, v in locs)
+        print(f"  {n/1e6:8.1f}  {sig}  <- {where}")
 
     if args.fwd:
         params = task._sample_params(state)
@@ -103,8 +120,9 @@ def main():
         print(f"\nfwd-only relayout traffic: {ftot:.0f} MB/call "
               f"({', '.join(f'{k} {v:.0f}' for k, v in fkinds.items())})")
         print(f"== top fwd relayout shapes (MB/call) ==")
-        for sig, n in ftop:
-            print(f"  {n/1e6:8.1f}  {sig}")
+        for sig, n, locs in ftop:
+            where = "; ".join(f"{l} ({v/1e6:.0f})" for l, v in locs)
+            print(f"  {n/1e6:8.1f}  {sig}  <- {where}")
 
 
 if __name__ == "__main__":

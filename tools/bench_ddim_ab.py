@@ -18,7 +18,8 @@ except Exception:
     pass
 
 _GATE_KEYS = ("MCEDM_DDPM_PAIR", "MCEDM_PAIR", "MCEDM_PAIRIO", "MCEDM_1X1",
-              "MCEDM_PALLAS")
+              "MCEDM_PALLAS", "MCEDM_DDPM_PAIRIO", "MCEDM_SHPAIR",
+              "MCEDM_DDPM_OUTHEAD", "MCEDM_QKV_SPLIT", "MCEDM_OUTPAIR")
 
 
 def make_ddim_task(dtype="bfloat16"):
