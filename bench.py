@@ -589,8 +589,12 @@ def bench_fno_family(roundtrip_s, quick=False):
 
 
 def _oformer_enc_dec(tok_res, T):
+    # dtype rides in the hparams (r5: the rollout task was silently fp32
+    # while train/infer ran bf16 — the flat oformer_rollout through r4)
+    dtype = ("bfloat16" if os.environ.get("MCEDM_OFORMER_BF16", "1") != "0"
+             else "float32")
     return to_dotdict({
-        "name": "oformer_t", "time_history": T,
+        "name": "oformer_t", "time_history": T, "dtype": dtype,
         "encoder": {"input_channels": 3, "time_window": 1,
                     "in_emb_dim": 128, "out_channels": 128,
                     "max_node_type": 2, "heads": 1, "depth": 4,

@@ -139,3 +139,50 @@ class TestFamilyBf16:
         assert np.isfinite(float(m["train_loss"]))
         for leaf in jax.tree_util.tree_leaves(st.params["params"]):
             assert leaf.dtype == jnp.float32
+
+    def test_oformer_rollout_bf16_drift_bounded(self):
+        """Multi-step latent rollout in bf16 (r5: the rollout task was
+        silently fp32 while train/infer ran bf16): the scan carries the
+        latent in bf16 for 16 steps — per-step drift must not compound
+        beyond the single-step tolerance band."""
+        from m_cedm_tpu.config import to_dotdict
+        from m_cedm_tpu.tasks import OformerTimePredTask
+
+        T = X = 16
+        nh = T // 2
+        hp = {
+            "name": "oformer_t", "time_history": T,
+            "encoder": {"input_channels": 3, "time_window": 1,
+                        "in_emb_dim": 32, "out_channels": 32,
+                        "max_node_type": 2, "heads": 1, "depth": 2,
+                        "res": X, "use_ln": True, "emb_dropout": 0.0,
+                        "relative_emb_dim": 2},
+            "decoder": {"max_node_type": 2, "latent_channels": 32,
+                        "out_channels": 1, "res": X, "scale": 2,
+                        "dropout": 0.0, "relative_emb_dim": 2},
+            "norm_shape": [], "loss": "mse", "lr": 1e-3,
+            "weight_decay": 1e-4, "curriculum_steps": 0,
+            "curriculum_ratio": 0.2,
+        }
+        t32 = OformerTimePredTask(to_dotdict(hp))
+        t16 = OformerTimePredTask(to_dotdict(dict(hp, dtype="bfloat16")))
+        for t in (t32, t16):
+            t.set_pde_loss_function("swe_per", False)
+        state = t32.init_state(jax.random.PRNGKey(0))
+        rs = jax.random.PRNGKey(1)
+        xh = jax.random.normal(rs, (2, 1, nh * X, 3))
+        nth = jnp.zeros((2, nh * X, 1), jnp.int32)
+        tg, xg = jnp.meshgrid(jnp.linspace(0, 1, T), jnp.linspace(0, 1, X),
+                              indexing="ij")
+        pos = jnp.broadcast_to(
+            jnp.stack([tg, xg], -1).reshape(1, T * X, 2), (2, T * X, 2))
+        ph, pf = pos[:, :nh * X], pos[:, nh * X:]
+        r32 = t32.model.apply(state.params, xh, nth, nth, ph, pf, nh * 2)
+        r16 = t16.model.apply(state.params, xh, nth, nth, ph, pf, nh * 2)
+        assert r16.dtype == jnp.float32
+        scale = float(jnp.abs(r32).mean())
+        # whole-rollout band AND last-step band (catches compounding)
+        assert float(jnp.abs(r16 - r32).mean()) < 0.05 * max(scale, 1.0)
+        last32, last16 = r32[:, -1], r16[:, -1]
+        assert (float(jnp.abs(last16 - last32).mean())
+                < 0.1 * max(float(jnp.abs(last32).mean()), 1.0))
