@@ -31,6 +31,7 @@ intensity ~40 flops/byte — below the v5e ridge — so it is HBM-bandwidth
 bound and bandwidth utilization is the number that says how close to the
 hardware limit the implementation runs.
 """
+import functools
 import json
 import os
 import statistics
@@ -703,8 +704,15 @@ def bench_oformer_family(roundtrip_s, quick=False):
         lambda: float(roll(tstate, jnp.float32(0))), roundtrip_s)
     out["oformer_rollout_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
     rng = jax.random.PRNGKey(2)
+    # the generic _lower_train can't wrap oformer's train_step (the
+    # curriculum reads int(state.step) on host) — lower _train_impl with
+    # the concrete step count instead (r4's missing mfu_oformer_train)
+    c_steps = task._curriculum_forward_steps(0, int(batch[1].shape[1]))
     out.update(_roofline_keys(
-        "oformer_train", lambda: _lower_train(task, state, batch, rng),
+        "oformer_train",
+        lambda: jax.jit(functools.partial(
+            type(task)._train_impl, task, c_steps=c_steps)).lower(
+            state, batch, rng),
         tms * 1e-3))
     out.update(_roofline_keys(
         "oformer_infer",

@@ -2043,11 +2043,14 @@ def _blockp_bwd(num_groups, eps, splits, res_splits, res_mode, emit_stats,
             # each low-res skip cell feeds both rows and both parities.
             # Strided ROW slices (g32[:, 0::2]) lower to H-major transpose
             # copies on this backend (CLAUDE.md audit) — split the major dim
-            # by reshape (layout-free) and index instead.
-            g32 = gp.astype(jnp.float32)
-            bb, hh = g32.shape[0], g32.shape[1]
-            g4 = g32.reshape(bb, hh // 2, 2, *g32.shape[2:])
-            e = g4[:, :, 0] + g4[:, :, 1]
+            # by reshape (layout-free) and index instead. Reshape in the
+            # COTANGENT dtype (an up-front .astype(f32) materialized a
+            # 67 MB/step f32 copy in the r5 byte audit); the f32 casts on
+            # the row slices fuse into the adds.
+            bb, hh = gp.shape[0], gp.shape[1]
+            g4 = gp.reshape(bb, hh // 2, 2, *gp.shape[2:])
+            e = (g4[:, :, 0].astype(jnp.float32)
+                 + g4[:, :, 1].astype(jnp.float32))
             dres = (e[..., :o] + e[..., o:]).astype(residual.dtype)
         elif res_mode == "proj":
             skw_p = _pair_skip_split(skip_w, res_splits).astype(xp.dtype)
