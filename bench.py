@@ -576,7 +576,13 @@ def bench_fno_family(roundtrip_s, quick=False):
     med, _, _ = _timed_reps(
         lambda: float(infer(state.params, u, x, t, jnp.float32(0))),
         roundtrip_s)
-    out["fno_infer_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
+    # the per-dispatch latency key is unreliable when compute is small
+    # vs host dispatch overhead (the r4 32427-vs-4973 contradiction);
+    # drop it when it comes out non-physically FASTER than the verified
+    # steady-state chain (a per-dispatch wall below steady means the
+    # timer raced the async dispatch, not that the device sped up)
+    if med / 1e3 >= 0.9 * smed:
+        out["fno_infer_samples_per_sec_latency"] = round(nb / (med / 1e3), 3)
     rng = jax.random.PRNGKey(2)
     out.update(_roofline_keys(
         "fno_train", lambda: _lower_train(task, state, batch, rng),
