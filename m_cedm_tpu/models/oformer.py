@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -46,6 +47,57 @@ Dtype = Optional[jnp.dtype]
 
 def _f32(x):
     return x.astype(jnp.float32)
+
+
+def _linear_attn(q, k, v, denom):
+    """einsum('bhnd,bhde->bhne', q, einsum('bhnd,bhne->bhde', k, v)) / denom
+    with the head dim folded into batch (MCEDM_OFORMER_ATTN3).
+
+    The 4D two-batch-dim dot_generals lower through the TPU backend's
+    convolution emitter: the round-5 train HLO has 64 `convolution-base-
+    dilated` ops (one per attention einsum, fwd AND transpose), each fed by
+    async batch-chunk slice DMAs (~2.5 GB/step of materialized slices,
+    tools/audit_family.py). Reshaping (b, h, n, d) -> (b*h, n, d) — a free
+    bitcast, h is adjacent to b in row-major — gives single-batch-dim 3D
+    dots that lower as plain batched MXU matmuls. `denom` (scalar token
+    count or (b, 1, 1, 1) masked count) rides on the small (d, e) factor
+    instead of the (n,)-sized output: linearity makes it the same math, and
+    it saves a full-size elementwise pass over (b, n, e).
+
+    Modes: "0" = legacy 4D einsums; "xla" = 3D reshape, plain XLA dots
+    (DEFAULT — same-session TPU A/B: train 161.5 -> 151.0 ms (1.070x),
+    infer 71.8 -> 67.1 ms (1.071x)); "1" = 3D reshape + the streaming
+    Pallas kernels (pallas/linear_attention.py) — measured LOSER (219 ms
+    train, 0.74x): XLA already keeps the small (d, e) factor VMEM-resident
+    across its fusions, and the kernel pays per-tile grid overhead for
+    matmuls the MXU pipeline handles natively. Kept for re-measurement.
+
+    Reference math anchor: models/oformer.py:319-327 (k^T v then q(k^T v)).
+    """
+    mode = os.environ.get("MCEDM_OFORMER_ATTN3", "xla")
+    if mode == "0":
+        dots = jnp.einsum("bhnd,bhne->bhde", k, v)
+        return jnp.einsum("bhnd,bhde->bhne", q, dots) / denom
+    b, h, nq, d = q.shape
+    nk, e = k.shape[2], v.shape[-1]
+    q3 = q.reshape(b * h, nq, d)
+    k3 = k.reshape(b * h, nk, d)
+    v3 = v.reshape(b * h, nk, e)
+    if mode == "1":
+        from m_cedm_tpu.pallas.linear_attention import apply_dots, kv_dots
+
+        dots = kv_dots(k3, v3)
+    else:
+        dots = jnp.einsum("bnd,bne->bde", k3, v3)
+    denom = jnp.asarray(denom, dots.dtype)
+    if denom.ndim:  # (b, 1, 1, 1) masked grid count -> (b*h, 1, 1)
+        denom = jnp.broadcast_to(denom, (b, h, 1, 1)).reshape(b * h, 1, 1)
+    dots = dots / denom
+    if mode == "1":
+        out = apply_dots(q3, dots)
+    else:
+        out = jnp.einsum("bnd,bde->bne", q3, dots.astype(q3.dtype))
+    return out.reshape(b, h, nq, e)
 
 
 class ChunkedDense(nn.Module):
@@ -257,8 +309,7 @@ class LinearAttention(nn.Module):
             score = jnp.einsum("bhnd,bhmd->bhnm", q, k)
             out = jnp.einsum("bhnm,bhmd->bhnd", score, v) / grid_size
         else:
-            dots = jnp.einsum("bhnd,bhne->bhde", k, v)
-            out = jnp.einsum("bhnd,bhde->bhne", q, dots) / grid_size
+            out = _linear_attn(q, k, v, grid_size)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
         out_dim = out.shape[-1]
         if not (heads == 1 and dh == self.dim and not self.cat_pos):
@@ -329,8 +380,7 @@ class CrossLinearAttention(nn.Module):
             k = jnp.concatenate([pz, k], axis=-1)
             v = jnp.concatenate([pz, v], axis=-1)
 
-        dots = jnp.einsum("bhnd,bhne->bhde", k, v)
-        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / n2
+        out = _linear_attn(q, k, v, n2)
         out = out.transpose(0, 2, 1, 3).reshape(b, n1, -1)
         if not (heads == 1 and dh == self.dim and not self.cat_pos):
             out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)

@@ -18,3 +18,20 @@ jax.config.update("jax_platforms", "cpu")
 # observed to segfault XLA:CPU inside backend_compile_and_load (full-suite
 # runs on 2026-08-18 died twice in test_precision while a TPU client ran)
 jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Even with the persistent cache off, full-suite runs (~300 tests, one
+    process) died twice with a deterministic XLA:CPU segfault inside
+    backend_compile_and_load at the same late test (test_precision, ~275
+    compiles in) while the same file passes alone — accumulated live JIT
+    executables are the only order-dependent state left. Freeing them
+    between modules keeps the per-process compile population bounded.
+    """
+    yield
+    jax.clear_caches()

@@ -98,6 +98,64 @@ class TestLinearAttention:
         out = attn.apply(params, x, pos)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def test_linear_attn_modes_agree(self, monkeypatch):
+        """MCEDM_OFORMER_ATTN3 modes 0 / xla / 1 are value-equal — the 3D
+        head-fold and denom-on-dots placement are pure lowering choices."""
+        from m_cedm_tpu.models.oformer import _linear_attn
+
+        key = jax.random.PRNGKey(7)
+        for (b, h, nq, nk, d, e) in [(2, 4, 24, 16, 8, 12), (1, 1, 10, 10, 6, 6)]:
+            q = jax.random.normal(key, (b, h, nq, d))
+            k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, nk, d))
+            v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, nk, e))
+            for denom in (nk, jnp.arange(1, b + 1, dtype=jnp.float32
+                                         ).reshape(b, 1, 1, 1)):
+                outs = {}
+                for mode in ("0", "xla", "1"):
+                    monkeypatch.setenv("MCEDM_OFORMER_ATTN3", mode)
+                    outs[mode] = _linear_attn(q, k, v, denom)
+                for mode in ("xla", "1"):
+                    np.testing.assert_allclose(
+                        np.asarray(outs[mode]), np.asarray(outs["0"]),
+                        rtol=1e-5, atol=1e-5)
+
+    def test_linear_attn_pallas_kernels_interpret(self, monkeypatch):
+        """Streaming-kernel primitives (fwd + custom VJP) vs jnp reference
+        at a kernel-eligible shape, pallas in interpret mode on CPU."""
+        from jax.experimental import pallas as pl
+
+        from m_cedm_tpu.pallas import linear_attention as la
+
+        monkeypatch.setenv("MCEDM_PALLAS", "1")
+
+        key = jax.random.PRNGKey(0)
+        bh, n, d, e = 2, la._TN, 128, 128
+        k = jax.random.normal(key, (bh, n, d), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(key, 1), (bh, n, e))
+        q = jax.random.normal(jax.random.fold_in(key, 2), (bh, n, d))
+        g = jax.random.normal(jax.random.fold_in(key, 3), (bh, n, e))
+        assert la._use_kernel(k)
+
+        orig = pl.pallas_call
+        la.pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        try:
+            def f(fwd_pair):
+                ad, kv = fwd_pair
+                return lambda q_, k_, v_: jnp.sum(ad(q_, kv(k_, v_) / n) * g)
+
+            pal = f((la.apply_dots, la.kv_dots))
+            ref = f((la._apply_reference, la._kv_reference))
+            np.testing.assert_allclose(float(pal(q, k, v)), float(ref(q, k, v)),
+                                       rtol=1e-5)
+            gp = jax.grad(pal, (0, 1, 2))(q, k, v)
+            gr = jax.grad(ref, (0, 1, 2))(q, k, v)
+            for a, b2 in zip(gp, gr):
+                rel = float(jnp.max(jnp.abs(a - b2))
+                            / (jnp.max(jnp.abs(b2)) + 1e-9))
+                assert rel < 2e-5
+        finally:
+            la.pl.pallas_call = orig
+
 
 def enc_cfg():
     return OformerEncoderConfig(input_channels=3, time_window=1, in_emb_dim=32,

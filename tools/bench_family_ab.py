@@ -24,7 +24,8 @@ except Exception:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_GATE_KEYS = ("MCEDM_FNO_DFT", "MCEDM_OFORMER_BF16", "MCEDM_FNO_BF16")
+_GATE_KEYS = ("MCEDM_FNO_DFT", "MCEDM_OFORMER_BF16", "MCEDM_FNO_BF16",
+              "MCEDM_OFORMER_ATTN3")
 
 
 def main():
