@@ -124,6 +124,37 @@ class ChunkedDense(nn.Module):
                      for i in range(self.n_chunks))
 
 
+class RowBlockDense(nn.Module):
+    """use_bias=False Dense over a CONCATENATED input, exposed as row-block
+    matmuls (`block(x, start)` = x @ kernel[start:start+x.shape[-1]]).
+
+    Linearity makes Dense(concat(a, b)) == block(a, 0) + block(b, a_dim);
+    the decoder rollout uses this to precompute the loop-invariant blocks
+    (node embedding, propagate positions) ONCE outside the lax.scan instead
+    of re-concatenating + re-multiplying them every scan step
+    (MCEDM_OFORMER_INVFOLD). Parameter layout ('kernel', (in_features,
+    features)) is identical to nn.Dense on the concatenated input, so
+    checkpoints/goldens are unchanged and the folded/unfolded paths share
+    params. Reference anchor: models/oformer.py:747-760 (propagator MLP
+    over torch.cat([z, x_node, pos]))."""
+    features: int
+    in_features: int
+    dtype: Dtype = None
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+
+    def block(self, x, start: int):
+        dt = self.dtype or jnp.promote_types(x.dtype, self.kernel.dtype)
+        k = jax.lax.slice_in_dim(self.kernel, start, start + x.shape[-1],
+                                 axis=0).astype(dt)
+        return x.astype(dt) @ k
+
+    def __call__(self, x):
+        return self.block(x, 0)
+
+
 def _qkv_init(heads: int, dim_head: int, n_chunks: int, boosted: Tuple[int, ...],
               init_gain: float, diagonal_weight: float):
     """Initializer for fused (dim -> inner*n_chunks) projection weights.
@@ -639,33 +670,51 @@ class IrregSTDecoder(nn.Module):
                      dtype=self.dtype)(z)
 
         prop_norm = nn.LayerNorm(name="prop_norm", dtype=self.dtype)
+        zdim = lc * 2  # z width entering the rollout (after expand_layer)
+        prop_mlp0 = RowBlockDense(lc * 2, zdim + lc + space_dim,
+                                  name="prop_mlp0", dtype=self.dtype)
         prop_mlp = [nn.Dense(lc * 2, use_bias=False, name=f"prop_mlp{i}",
                              dtype=self.dtype)
-                    for i in range(4)]
+                    for i in range(1, 4)]
         out_norm = nn.LayerNorm(name="out_norm", dtype=self.dtype)
-        to_out = [nn.Dense(lc * 2, use_bias=False, name="to_out0",
-                           dtype=self.dtype),
-                  nn.Dense(lc, use_bias=False, name="to_out1",
+        to_out0 = RowBlockDense(lc * 2, zdim + lc, name="to_out0",
+                                dtype=self.dtype)
+        to_out = [nn.Dense(lc, use_bias=False, name="to_out1",
                            dtype=self.dtype),
                   nn.Dense(cfg.out_channels, use_bias=True, name="to_out2",
                            dtype=self.dtype)]
         ppos = propagate_pos.astype(cdt)
 
+        # x_node and ppos are constant across the rollout: their rows of the
+        # first matmul in propagate/decode are precomputed ONCE here, so the
+        # scan body never re-concatenates or re-multiplies them (the concat
+        # alone re-materialized the full token tensor every step). Fold is
+        # value-equal up to fp reassociation (split-matmul accumulation);
+        # MCEDM_OFORMER_INVFOLD=0 restores the concat form.
+        invfold = os.environ.get("MCEDM_OFORMER_INVFOLD", "1") != "0"
+        if invfold:
+            prop_inv = (prop_mlp0.block(x_node, zdim)
+                        + prop_mlp0.block(ppos, zdim + lc))
+            out_inv = to_out0.block(x_node, zdim)
+
         def propagate(zz):
-            h = jnp.concatenate([prop_norm(zz),
-                                 x_node, ppos], axis=-1)
-            for i, layer in enumerate(prop_mlp):
-                h = layer(h)
-                if i < 3:
-                    h = nn.gelu(h)
+            if invfold:
+                h = prop_mlp0.block(prop_norm(zz), 0) + prop_inv
+            else:
+                h = prop_mlp0(jnp.concatenate([prop_norm(zz), x_node, ppos],
+                                              axis=-1))
+            for layer in prop_mlp:
+                h = layer(nn.gelu(h))
             return h + zz
 
         def decode(zz):
             h = out_norm(zz)
-            h = jnp.concatenate([h, x_node], axis=-1)
-            h = nn.relu(to_out[0](h))
-            h = nn.relu(to_out[1](h))
-            return _f32(to_out[2](h))
+            if invfold:
+                h = to_out0.block(h, 0) + out_inv
+            else:
+                h = to_out0(jnp.concatenate([h, x_node], axis=-1))
+            h = nn.relu(to_out[0](nn.relu(h)))
+            return _f32(to_out[1](h))
 
         # materialize all params with one call OUTSIDE the scan (flax cannot
         # create params inside a lax.scan trace); the scan then reuses them
